@@ -1,0 +1,394 @@
+"""Typed configuration tree for the TPU semantic-SLAM framework.
+
+Covers every key of the reference's ``parameters.txt`` (reference:
+parameters.txt:1-102, parsed by include/parameter_reader.h:12-61) *plus* the
+knobs the reference hardcodes inline (SGBM params src/stereo.cpp:16-28, KLT
+params src/quadmatcher.cpp:553-561, RANSAC/GN params include/vo_stereo.hpp:
+25-40, U-V-disparity constants include/uvdisparity.hpp:17-34 and
+src/uvdisparity.cpp:877, semantic class colors src/mapper.cpp:42-55,206-208).
+Centralizing the magic constants is required to make ATE-matching tractable
+(SURVEY.md §7 "Hard parts" #6).
+
+A ``key=value`` file in the reference's format can be loaded with
+:func:`load_parameters_file`; unknown keys warn (the reference's
+ParameterReader only warns on *missing* keys, parameter_reader.h:52-61).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole stereo camera intrinsics (reference: utils.h:8-14, common.h:38-44,
+    parameters.txt:36-63)."""
+
+    fx: float = 718.8560
+    fy: float = 718.8560
+    cx: float = 607.1928
+    cy: float = 185.2157
+    baseline: float = 0.532331858  # metres
+    scale: float = 1000.0          # depth units per metre (parameters.txt:63)
+    # Distortion (always zero in the reference config, parameters.txt:57-61)
+    d: Tuple[float, float, float, float, float] = (0.0, 0.0, 0.0, 0.0, 0.0)
+    # 3D region of interest half-extents (metres): |X|<roix, |Y|<roiy, Z<roiz
+    # (reference: basicStructure.hpp:15-38, parameters.txt:50-55)
+    roix: float = 20.0
+    roiy: float = 5.0
+    roiz: float = 40.0
+
+    @property
+    def bf(self) -> float:
+        """fx * baseline — disparity-to-depth scale."""
+        return self.fx * self.baseline
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    """Dataset paths and frame range (reference: parameters.txt:1-17)."""
+
+    data_source: str = ""
+    gtpose_source: str = ""
+    rgb_dir: str = "image_2/"
+    rgb_extension: str = ".png"
+    depth_dir: str = "stereo/"
+    depth_extension: str = ".png"
+    start_index: int = 0
+    end_index: int = 100
+    dataset_type: str = "kitti"  # "kitti" | "tum" | "synthetic"
+
+
+@dataclass(frozen=True)
+class SgbmConfig:
+    """Semi-global matching parameters (reference hardcodes these at
+    src/stereo.cpp:16-28)."""
+
+    min_disparity: int = 0
+    num_disparities: int = 80
+    sad_window_size: int = 11
+    p1: int = 8 * 11 * 11     # smoothness penalty, small disparity step
+    p2: int = 32 * 11 * 11    # smoothness penalty, large disparity step
+    uniqueness_ratio: int = 10
+    speckle_window_size: int = 100
+    speckle_range: int = 32
+    disp12_max_diff: int = 1
+    pre_filter_cap: int = 63
+    full_dp: bool = True       # 8-direction vs 5-direction aggregation
+    # TPU implementation knobs (not in reference)
+    num_directions: int = 4    # DP aggregation directions (4 = L,R,U,D)
+    cost_dtype: str = "int32"
+
+
+@dataclass(frozen=True)
+class OrbConfig:
+    """ORB extractor parameters (reference: parameters.txt:66-72, orb.h:21-27)."""
+
+    n_features: int = 2000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    knn_match_ratio: float = 0.8
+    # TPU static-shape budget: max keypoints per pyramid level before NMS
+    max_candidates_per_level: int = 4096
+    patch_size: int = 31       # rBRIEF sampling patch (ORB standard)
+    half_patch_size: int = 15  # orientation intensity-centroid radius
+    edge_threshold: int = 19
+
+
+@dataclass(frozen=True)
+class GfttConfig:
+    """Shi-Tomasi (GFTT) detector params for the quad matcher's tracking mode
+    (reference: quadmatcher.cpp:301-308, track.cpp:52)."""
+
+    max_corners: int = 500
+    quality_level: float = 0.04
+    min_distance: int = 8
+    block_size: int = 3
+
+
+@dataclass(frozen=True)
+class KltConfig:
+    """Pyramidal Lucas-Kanade params (reference hardcodes at
+    src/quadmatcher.cpp:553-561)."""
+
+    window_size: int = 11
+    pyramid_levels: int = 3
+    max_iterations: int = 20   # fixed-count iterations; convergence by mask
+    epsilon: float = 0.01
+    min_eig_threshold: float = 1e-4
+
+
+@dataclass(frozen=True)
+class QuadMatchConfig:
+    """Geometric gates for circular-track filtering (reference:
+    quadmatcher.cpp:420-503)."""
+
+    max_dy_stereo: float = 1.0        # epipolar |Δy| for stereo pairs
+    min_disparity: float = 3.0        # lc.x - rc.x must exceed this
+    max_flow: float = 100.0           # |flow| bound between frames
+    loop_consistency_px: float = 1.0  # ‖lc→...→lp chain − direct lc→lp‖ < 1px
+    max_features: int = 512           # static budget for quad-match slots
+
+
+@dataclass(frozen=True)
+class VoConfig:
+    """libviso2-style stereo VO params (reference: vo_stereo.hpp:25-40,
+    vo_stereo.cpp:91-136)."""
+
+    ransac_iters: int = 200
+    inlier_threshold: float = 6.0     # parameters.txt:79 (4-D reproj error)
+    gn_iters_hypothesis: int = 20     # per-RANSAC-sample Gauss-Newton iters
+    gn_iters_refine: int = 100        # final refinement on all inliers
+    gn_step_tol: float = 1e-8
+    reweighting: bool = True          # left-border column reweighting
+    match_radius_reweight: float = 0.5  # vo_stereo.cpp:317-319 weighting
+
+
+@dataclass(frozen=True)
+class UVDisparityConfig:
+    """U-V-disparity moving-object detector params (reference:
+    uvdisparity.hpp:17-34, uvdisparity.cpp:35-47,877)."""
+
+    # flood-fill seeding/growth gates (uvdisparity.hpp:17-34)
+    min_intensity: int = 11
+    min_disparity_raw: float = 3.0
+    min_area: int = 20
+    inlier_tolerance: int = 3
+    # sigmoid intensity adjustment (uvdisparity.cpp:877, sigmoid :991-1003)
+    sigmoid_alpha: float = 0.02
+    sigmoid_beta: float = 32.0
+    # Kalman filters on the two pitch angles (uvdisparity.cpp:35-47)
+    kf_process_noise: float = 1e-5
+    kf_measurement_noise: float = 1e-2
+    kf_error_cov_post: float = 1.0
+    # histogram/morphology knobs (calVDisparity :277-366, Pitch_Classify :368-528)
+    v_blur_ksize: int = 3
+    otsu_bins: int = 256
+    # flood-fill iterations for label propagation (TPU fixed-sweep bound)
+    flood_fill_sweeps: int = 32
+    max_masks: int = 32               # static budget for candidate masks
+    overlap_merge_threshold: float = 0.5
+
+
+@dataclass(frozen=True)
+class PnpConfig:
+    """Motion-only BA params (reference: pnp.cpp:5-118, parameters.txt:75-76)."""
+
+    min_inliers: int = 10
+    min_matches: int = 15
+    rounds: int = 4
+    iters_per_round: int = 10
+    chi2_threshold: float = 5.991     # 95% chi-square, 2 DoF
+    huber_delta: float = 5.991 ** 0.5
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """Tracking-frontend state machine params (reference: parameters.txt:79-81,
+    track.cpp:113-136)."""
+
+    inlier_threshold: float = 6.0
+    max_lost_frames: int = 10
+    ref_frames: int = 5
+
+
+@dataclass(frozen=True)
+class PoseGraphConfig:
+    """Pose-graph backend params (reference: parameters.txt:84-88,
+    pose_graph.cpp:29-36,238-296)."""
+
+    nearby_keyframes: int = 5
+    keyframe_min_translation: float = 5.5
+    keyframe_min_rotation: float = 2.5
+    loop_accumulate_error: float = 4.0
+    local_accumulate_error: float = 1.0
+    local_window: int = 5             # vertices left free in local optimize
+    global_iters: int = 10            # LM iterations for global optimize
+    information_weight: float = 100.0 # edge information = 100·I (pose_graph.cpp:58)
+    huber_delta: float = 1.0
+    # PCG linear solver (replaces Cholmod; SURVEY.md §2.2 g2o row)
+    pcg_iters: int = 100
+    pcg_tol: float = 1e-6
+    max_keyframes: int = 2048         # static keyframe budget
+
+
+@dataclass(frozen=True)
+class LooperConfig:
+    """BoW loop-closure detector params (reference: parameters.txt:91-93,
+    looper.cpp:5-18)."""
+
+    vocab_file: str = ""
+    min_sim_score: float = 0.015
+    min_interval: int = 60
+    # vocabulary tree geometry (DBoW2 ORBvoc: k=10 branching, L=6 depth,
+    # transform at level 4); our from-scratch vocab keeps the same shape
+    branching: int = 10
+    depth: int = 6
+    scoring_level: int = 4
+
+
+@dataclass(frozen=True)
+class SegNetConfig:
+    """SegNet segmentation params (reference: segnet.cpp, experiment/segnet.cpp:58,
+    models/semantic12.txt — 12 classes at 480x360)."""
+
+    input_height: int = 360
+    input_width: int = 480
+    num_classes: int = 12
+    dtype: str = "bfloat16"
+    # class palette indices used by the mapper filters; see mapping/semantics.py
+    online: bool = False              # online in-pipeline vs offline precompute
+
+
+@dataclass(frozen=True)
+class MapperConfig:
+    """Dense semantic mapping params (reference: parameters.txt:96-102,
+    mapper.cpp:106-155,189-216)."""
+
+    resolution: float = 0.1           # voxel grid leaf (metres)
+    max_distance: float = 40.0        # depth cutoff (metres)
+    full_rebuild_every: int = 15      # every 15th update: full rebuild
+    full_rebuild_stride: int = 2      # ... from every 2nd keyframe
+    incremental_window: int = 5       # else last-5 incremental
+    motion_area_threshold: int = 1000         # parameters.txt:101
+    motion_overlay_portion_threshold: float = 0.143  # parameters.txt:102
+    dilate_iters: int = 2             # semantic moving-mask dilation (mapper.cpp:214)
+    max_points_per_frame: int = 1 << 18  # static point budget per keyframe
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh/collectives layer (no reference equivalent — SURVEY.md §2.3)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    dp: int = 1                       # frame-batch data parallelism
+    tp: int = 1                       # channel/model parallelism for SegNet
+    keyframe_shards: int = 1          # pose-graph keyframe-axis sharding
+    map_shards: int = 1               # spatial voxel-block sharding
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    sgbm: SgbmConfig = field(default_factory=SgbmConfig)
+    orb: OrbConfig = field(default_factory=OrbConfig)
+    gftt: GfttConfig = field(default_factory=GfttConfig)
+    klt: KltConfig = field(default_factory=KltConfig)
+    quadmatch: QuadMatchConfig = field(default_factory=QuadMatchConfig)
+    vo: VoConfig = field(default_factory=VoConfig)
+    uvdisparity: UVDisparityConfig = field(default_factory=UVDisparityConfig)
+    pnp: PnpConfig = field(default_factory=PnpConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    pose_graph: PoseGraphConfig = field(default_factory=PoseGraphConfig)
+    looper: LooperConfig = field(default_factory=LooperConfig)
+    segnet: SegNetConfig = field(default_factory=SegNetConfig)
+    mapper: MapperConfig = field(default_factory=MapperConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def replace(self, **kwargs: Any) -> "SlamConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def default_config() -> SlamConfig:
+    return SlamConfig()
+
+
+# ---------------------------------------------------------------------------
+# parameters.txt compatibility layer
+# ---------------------------------------------------------------------------
+
+# Maps reference parameters.txt keys → (section attr, field name, type).
+_KEY_MAP: Dict[str, Tuple[str, str, type]] = {
+    "start_index": ("dataset", "start_index", int),
+    "end_index": ("dataset", "end_index", int),
+    "data_source": ("dataset", "data_source", str),
+    "gtpose_source": ("dataset", "gtpose_source", str),
+    "rgb_dir": ("dataset", "rgb_dir", str),
+    "rgb_extension": ("dataset", "rgb_extension", str),
+    "depth_dir": ("dataset", "depth_dir", str),
+    "depth_extension": ("dataset", "depth_extension", str),
+    "camera.fx": ("camera", "fx", float),
+    "camera.fy": ("camera", "fy", float),
+    "camera.cx": ("camera", "cx", float),
+    "camera.cy": ("camera", "cy", float),
+    "camera.baseline": ("camera", "baseline", float),
+    "camera.scale": ("camera", "scale", float),
+    "camera.roix": ("camera", "roix", float),
+    "camera.roiy": ("camera", "roiy", float),
+    "camera.roiz": ("camera", "roiz", float),
+    "orb_features": ("orb", "n_features", int),
+    "orb_scale": ("orb", "scale_factor", float),
+    "orb_levels": ("orb", "n_levels", int),
+    "orb_iniThFAST": ("orb", "ini_th_fast", int),
+    "orb_minThFAST": ("orb", "min_th_fast", int),
+    "knn_match_ratio": ("orb", "knn_match_ratio", float),
+    "pnp_min_inliers": ("pnp", "min_inliers", int),
+    "pnp_min_matches": ("pnp", "min_matches", int),
+    "inlier_threshold": ("tracker", "inlier_threshold", float),
+    "tracker_max_lost_frame": ("tracker", "max_lost_frames", int),
+    "tracker_ref_frames": ("tracker", "ref_frames", int),
+    "nearby_keyframes": ("pose_graph", "nearby_keyframes", int),
+    "keyframe_min_translation": ("pose_graph", "keyframe_min_translation", float),
+    "keyframe_min_rotation": ("pose_graph", "keyframe_min_rotation", float),
+    "loop_accumulate_error": ("pose_graph", "loop_accumulate_error", float),
+    "local_accumulate_error": ("pose_graph", "local_accumulate_error", float),
+    "looper_vocab_file": ("looper", "vocab_file", str),
+    "looper_min_sim_score": ("looper", "min_sim_score", float),
+    "looper_min_interval": ("looper", "min_interval", int),
+    "mapper_resolution": ("mapper", "resolution", float),
+    "mapper_max_distance": ("mapper", "max_distance", float),
+    "motion_area_thres": ("mapper", "motion_area_threshold", int),
+    "motion_overlay_portion_thres": ("mapper", "motion_overlay_portion_threshold", float),
+}
+
+# camera.d0..d4 handled specially (tuple field)
+_DIST_KEYS = {f"camera.d{i}": i for i in range(5)}
+
+
+def parse_parameters_text(text: str) -> Dict[str, str]:
+    """Parse the reference's ``key=value`` format with ``#`` comments
+    (reference: parameter_reader.h:22-50 — '#'-prefixed lines skipped,
+    split at first '=')."""
+    out: Dict[str, str] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        out[key.strip()] = value.strip()
+    return out
+
+
+def load_parameters_file(path: str | Path,
+                         base: Optional[SlamConfig] = None) -> SlamConfig:
+    """Load a reference-format parameters.txt into a :class:`SlamConfig`."""
+    cfg = base if base is not None else default_config()
+    raw = parse_parameters_text(Path(path).read_text())
+
+    sections: Dict[str, Dict[str, Any]] = {}
+    dist = list(cfg.camera.d)
+    for key, value in raw.items():
+        if key in _DIST_KEYS:
+            dist[_DIST_KEYS[key]] = float(value)
+            continue
+        if key not in _KEY_MAP:
+            print(f"[config] warning: unknown parameter '{key}'", file=sys.stderr)
+            continue
+        section, attr, typ = _KEY_MAP[key]
+        sections.setdefault(section, {})[attr] = typ(value)
+    sections.setdefault("camera", {})["d"] = tuple(dist)
+
+    updates = {}
+    for section, fields in sections.items():
+        updates[section] = dataclasses.replace(getattr(cfg, section), **fields)
+    return dataclasses.replace(cfg, **updates)
