@@ -1,0 +1,184 @@
+"""Dense image primitives: separable filters, pyramids, gradients, bilinear
+sampling, binary morphology.
+
+These are the TPU-native replacements for the OpenCV primitives the
+reference leans on everywhere: GaussianBlur/erode/dilate in the U-V
+disparity module (reference: uvdisparity.cpp:380-420, mapper.cpp:214),
+``buildOpticalFlowPyramid`` inside KLT (quadmatcher.cpp:566-576), Sobel
+gradients inside GFTT/Harris, and ``cv::remap``-style subpixel sampling.
+
+Everything is pure jnp on (H, W) or batched (..., H, W) arrays with static
+shapes; XLA fuses the separable convolutions into a handful of HBM passes.
+Convolutions use `lax.conv_general_dilated` so they lower onto the MXU when
+profitable.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_kernel_1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _sep_filter(img: jnp.ndarray, kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray:
+    """Separable 2D filter on (..., H, W) with reflect padding."""
+    batch_shape = img.shape[:-2]
+    H, W = img.shape[-2:]
+    x = img.reshape((-1, 1, H, W))
+    rx = len(kx) // 2
+    ry = len(ky) // 2
+    x = jnp.pad(x, ((0, 0), (0, 0), (ry, ry), (rx, rx)), mode="reflect")
+    kh = jnp.asarray(ky, img.dtype).reshape(1, 1, -1, 1)
+    kw = jnp.asarray(kx, img.dtype).reshape(1, 1, 1, -1)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+    return x.reshape(batch_shape + (H, W))
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float = 1.0,
+                  radius: int | None = None) -> jnp.ndarray:
+    if radius is None:
+        radius = max(1, int(math.ceil(3.0 * sigma)))
+    k = gaussian_kernel_1d(sigma, radius)
+    return _sep_filter(img, k, k)
+
+
+def box_blur(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    k = np.full((size,), 1.0 / size, np.float32)
+    return _sep_filter(img, k, k)
+
+
+_SCHARR_D = np.array([-1.0, 0.0, 1.0], np.float32) * 0.5
+_SCHARR_S = np.array([3.0, 10.0, 3.0], np.float32) / 16.0
+_SOBEL_S = np.array([1.0, 2.0, 1.0], np.float32) / 4.0
+
+
+def gradients(img: jnp.ndarray, smooth: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Ix, Iy) central-difference gradients (Sobel-smoothed by default)."""
+    s = _SOBEL_S if smooth else np.array([0.0, 1.0, 0.0], np.float32)
+    ix = _sep_filter(img, _SCHARR_D, s)
+    iy = _sep_filter(img, s, _SCHARR_D)
+    return ix, iy
+
+
+def downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """Anti-aliased 2x downsample (blur + stride-2), OpenCV pyrDown-style."""
+    k = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+    x = _sep_filter(img, k, k)
+    return x[..., ::2, ::2]
+
+
+def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of (..., H, W) to (..., H', W') via jax.image."""
+    out_shape = img.shape[:-2] + tuple(out_hw)
+    return jax.image.resize(img, out_shape, method="bilinear")
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int,
+                  scale_factor: float = 2.0) -> List[jnp.ndarray]:
+    """Image pyramid, finest first. scale_factor=1.2 replicates the
+    ORBextractor pyramid (reference: orb.h:21-26, parameters.txt:68);
+    scale_factor=2.0 is the KLT pyramid (quadmatcher.cpp:566)."""
+    levels = [img]
+    H, W = img.shape[-2:]
+    for lvl in range(1, n_levels):
+        s = scale_factor ** lvl
+        h, w = max(8, int(round(H / s))), max(8, int(round(W / s)))
+        if scale_factor == 2.0:
+            levels.append(downsample2(levels[-1]))
+        else:
+            # mild blur then resize to target keeps aliasing down for 1.2x
+            levels.append(resize_bilinear(
+                gaussian_blur(levels[-1], sigma=0.8), (h, w)))
+    return levels
+
+
+def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray,
+                    pad_value: float = 0.0) -> jnp.ndarray:
+    """Sample (H, W) image at float coords xy (..., 2) [x, y] with bilinear
+    interpolation; out-of-bounds -> pad_value. Gather-based, vmap-friendly —
+    the workhorse under KLT patch sampling and rBRIEF point pairs."""
+    H, W = img.shape[-2:]
+    x = xy[..., 0]
+    y = xy[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    ax = x - x0
+    ay = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def at(yi, xi):
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        return img[yc, xc]
+
+    v = ((1 - ay) * ((1 - ax) * at(y0i, x0i) + ax * at(y0i, x0i + 1))
+         + ay * ((1 - ax) * at(y0i + 1, x0i) + ax * at(y0i + 1, x0i + 1)))
+    inb = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
+    return jnp.where(inb, v, pad_value)
+
+
+def _morph(img: jnp.ndarray, size: int, is_dilate: bool,
+           iterations: int = 1) -> jnp.ndarray:
+    """Binary/grayscale morphology via reduce_window max/min
+    (replaces cv::dilate/erode, reference: uvdisparity.cpp:418, mapper.cpp:214)."""
+    init = -jnp.inf if is_dilate else jnp.inf
+    op = jax.lax.max if is_dilate else jax.lax.min
+    x = img.astype(jnp.float32)
+    batch = x.shape[:-2]
+    H, W = x.shape[-2:]
+    x = x.reshape((-1, H, W))
+    for _ in range(iterations):
+        x = jax.lax.reduce_window(
+            x, init, op, (1, size, size), (1, 1, 1), "SAME")
+    x = x.reshape(batch + (H, W))
+    return x.astype(img.dtype) if img.dtype != jnp.bool_ else x > 0.5
+
+
+def dilate(img: jnp.ndarray, size: int = 3, iterations: int = 1) -> jnp.ndarray:
+    return _morph(img, size, True, iterations)
+
+
+def erode(img: jnp.ndarray, size: int = 3, iterations: int = 1) -> jnp.ndarray:
+    return _morph(img, size, False, iterations)
+
+
+def otsu_threshold(img: jnp.ndarray, n_bins: int = 256,
+                   value_range: Tuple[float, float] = (0.0, 1.0)) -> jnp.ndarray:
+    """Otsu's threshold of an image/histogrammable array (replaces
+    cv::threshold(..., THRESH_OTSU) in the pitch classifier, reference:
+    uvdisparity.cpp:410-430). Returns the scalar threshold value."""
+    lo, hi = value_range
+    hist = jnp.histogram(img.reshape(-1), bins=n_bins, range=(lo, hi))[0]
+    hist = hist.astype(jnp.float32)
+    centers = lo + (jnp.arange(n_bins, dtype=jnp.float32) + 0.5) * (hi - lo) / n_bins
+    total = jnp.sum(hist)
+    w0 = jnp.cumsum(hist)
+    w1 = total - w0
+    m0 = jnp.cumsum(hist * centers) / jnp.maximum(w0, 1e-9)
+    m1 = (jnp.sum(hist * centers) - jnp.cumsum(hist * centers)) / jnp.maximum(w1, 1e-9)
+    between = jnp.where((w0 > 0) & (w1 > 0), w0 * w1 * (m0 - m1) ** 2, -1.0)
+    # the maximum can be a plateau (empty gap between modes): use its
+    # midpoint, as OpenCV does, instead of the first maximizing bin
+    best = jnp.max(between)
+    at_max = between >= best * (1.0 - 1e-6)
+    idx_vals = jnp.arange(n_bins, dtype=jnp.float32)
+    mid = jnp.sum(jnp.where(at_max, idx_vals, 0.0)) / jnp.maximum(
+        jnp.sum(at_max), 1)
+    return lo + (mid + 0.5) * (hi - lo) / n_bins
+
+
+@partial(jax.jit, static_argnames=("num_classes",))
+def semantic_one_hot(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
