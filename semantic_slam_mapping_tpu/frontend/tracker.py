@@ -1,0 +1,145 @@
+"""Tracking frontend: per-frame state machine over the stereo VO stack.
+
+Replaces the reference's ``Tracker`` (reference: src/track.cpp — dispatch
+``updateFrame`` :8-28; active path ``estimateVO`` :38-137: constant-velocity
+prediction :41, GFTT+KLT quad matching :45-55, viso ``Process`` :59,
+triangulation + U-V-disparity moving mask :67-79, pose integration
+``pose = pose * inv(M)`` :82-87,123-128, speed update + bounded ref deque
+:130-136, lost counting :113-121; states NOT_READY/OK/LOST track.h:55-60;
+``lostRecover`` :202-212).
+
+TPU design: the whole per-frame update is ONE jitted function over a pure
+``TrackerState`` pytree — no mutexes, no mutable frame objects. Sequences
+are processed by scanning this step over the frame stream; the moving-object
+mask and per-frame diagnostics come out as part of the step output. The
+relocalization entry point ``adjust`` (track.h:114-131, called by the
+backend after optimization) is a pure state rewrite.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from semantic_slam_mapping_tpu.config import SlamConfig
+from semantic_slam_mapping_tpu.frontend import quadmatch, uvdisparity as uvd
+from semantic_slam_mapping_tpu.frontend import vo
+from semantic_slam_mapping_tpu.geometry import se3, stereo as gstereo
+from semantic_slam_mapping_tpu.geometry.camera import Intrinsics
+from semantic_slam_mapping_tpu.ops import sgbm
+
+# status codes (track.h:55-60)
+NOT_READY = 0
+OK = 1
+LOST = 2
+
+
+class TrackerState(NamedTuple):
+    status: jnp.ndarray        # int32 scalar
+    pose: jnp.ndarray          # (4, 4) T_w_c camera-to-world
+    velocity: jnp.ndarray      # (4, 4) last inter-frame motion (prev->cur)
+    lost_count: jnp.ndarray    # int32 scalar
+    pitch_kf: uvd.PitchKalmanState
+    frame_index: jnp.ndarray   # int32 scalar
+
+    @classmethod
+    def initial(cls) -> "TrackerState":
+        return cls(status=jnp.int32(NOT_READY),
+                   pose=se3.identity(),
+                   velocity=se3.identity(),
+                   lost_count=jnp.int32(0),
+                   pitch_kf=uvd.PitchKalmanState.init(),
+                   frame_index=jnp.int32(0))
+
+
+class FrameResult(NamedTuple):
+    pose: jnp.ndarray          # (4, 4) world pose after this frame
+    T_delta: jnp.ndarray       # (4, 4) estimated inter-frame motion
+    status: jnp.ndarray
+    n_matches: jnp.ndarray
+    n_inliers: jnp.ndarray
+    moving_mask: jnp.ndarray   # (H, W) bool
+    disparity: jnp.ndarray     # (H, W)
+    matches: vo.QuadMatches
+    vo_success: jnp.ndarray
+    pitch: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def track_frame(state: TrackerState,
+                cur_left: jnp.ndarray, cur_right: jnp.ndarray,
+                prev_left: jnp.ndarray, prev_right: jnp.ndarray,
+                K: Intrinsics, key: jax.Array,
+                cfg: SlamConfig) -> Tuple[TrackerState, FrameResult]:
+    """One full frontend step (the estimateVO path, track.cpp:38-137)."""
+    # ---- dense stereo (the FrameReader's SGBM role, rgbdframe.cpp:80-116)
+    sg = sgbm.compute(cur_left, cur_right, cfg.sgbm)
+    disparity = jnp.where(sg.valid, sg.disparity, 0.0)
+
+    # ---- quad matching seeded by disparity ----
+    m = quadmatch.quad_match(
+        cur_left=cur_left, cur_right=cur_right,
+        prev_left=prev_left, prev_right=prev_right,
+        qcfg=cfg.quadmatch, gcfg=cfg.gftt, kcfg=cfg.klt,
+        cur_disparity=disparity)
+
+    # ---- RANSAC + GN motion ----
+    res = vo.estimate_motion(m, K, key, cfg.vo)
+
+    # ---- triangulation + pitch + moving-object mask ----
+    pts = gstereo.triangulate_image(K, disparity, cfg.camera)
+    inl_uv = m.lc
+    out_uv = m.lc
+    uv_res = uvd.detect_moving_objects(
+        disparity, sg.valid, pts.roi,
+        inl_uv, m.valid & res.inliers,
+        out_uv, m.valid & ~res.inliers, K,
+        num_disparities=cfg.sgbm.num_disparities, cfg=cfg.uvdisparity)
+    kf = uvd.pitch_kalman_update(state.pitch_kf, uv_res.pitch[None],
+                                 cfg.uvdisparity)
+
+    # ---- pose integration / state machine ----
+    first = state.status == NOT_READY
+    ok = res.success & ~first
+
+    # success: pose <- pose * inv(T_delta)   (track.cpp:82-87)
+    pose_ok = se3.compose(state.pose, se3.inverse(res.T_delta))
+    # failure: constant-velocity prediction   (track.cpp:113-121)
+    pose_pred = se3.compose(state.pose, se3.inverse(state.velocity))
+    new_pose = jnp.where(first, state.pose,
+                         jnp.where(ok, pose_ok, pose_pred))
+    new_pose = se3.orthonormalize(new_pose)
+
+    new_velocity = jnp.where(ok, res.T_delta, state.velocity)
+    new_lost = jnp.where(ok | first, 0, state.lost_count + 1)
+    new_status = jnp.where(
+        new_lost > cfg.tracker.max_lost_frames, LOST, OK).astype(jnp.int32)
+
+    new_state = TrackerState(
+        status=new_status, pose=new_pose, velocity=new_velocity,
+        lost_count=new_lost.astype(jnp.int32), pitch_kf=kf,
+        frame_index=state.frame_index + 1)
+    out = FrameResult(
+        pose=new_pose, T_delta=res.T_delta, status=new_status,
+        n_matches=jnp.sum(m.valid), n_inliers=res.n_inliers,
+        moving_mask=uv_res.moving_mask, disparity=disparity,
+        matches=m, vo_success=res.success, pitch=uv_res.pitch)
+    return new_state, out
+
+
+def adjust(state: TrackerState, new_pose: jnp.ndarray) -> TrackerState:
+    """Backend-initiated relocalization: rewrite the frontend pose after a
+    pose-graph optimization (Tracker::adjust, track.h:114-131; called from
+    pose_graph.cpp:298-302)."""
+    return state._replace(pose=se3.orthonormalize(new_pose),
+                          lost_count=jnp.int32(0),
+                          status=jnp.int32(OK))
+
+
+def lost_recover(state: TrackerState, last_good_pose: jnp.ndarray
+                 ) -> TrackerState:
+    """Re-seed at the last reference pose (lostRecover, track.cpp:202-212)."""
+    return adjust(state, last_good_pose)

