@@ -102,16 +102,17 @@ def track_frame(state: TrackerState,
                                  cfg.uvdisparity)
 
     # ---- pose integration / state machine ----
+    # (unlike the reference's updateFrame, this step always receives a
+    # (current, previous) pair, so even the first call integrates motion;
+    # NOT_READY only means "no velocity prior yet")
     first = state.status == NOT_READY
-    ok = res.success & ~first
+    ok = res.success
 
     # success: pose <- pose * inv(T_delta)   (track.cpp:82-87)
     pose_ok = se3.compose(state.pose, se3.inverse(res.T_delta))
     # failure: constant-velocity prediction   (track.cpp:113-121)
     pose_pred = se3.compose(state.pose, se3.inverse(state.velocity))
-    new_pose = jnp.where(first, state.pose,
-                         jnp.where(ok, pose_ok, pose_pred))
-    new_pose = se3.orthonormalize(new_pose)
+    new_pose = se3.orthonormalize(jnp.where(ok, pose_ok, pose_pred))
 
     new_velocity = jnp.where(ok, res.T_delta, state.velocity)
     new_lost = jnp.where(ok | first, 0, state.lost_count + 1)
