@@ -1,0 +1,151 @@
+"""Bag-of-words loop-closure detection: vocabulary tree + L1 scoring.
+
+From-scratch TPU-native replacement for DBoW2 as the reference uses it
+(reference: looper.h:29-48 — ORB vocabulary loaded from ORBvoc.txt,
+``transform`` of frame descriptors to a BoW vector, ``getPossibleLoops``
+linear scan with score > looper_min_sim_score and id-gap >
+looper_min_interval, looper.cpp:5-18; vocab constants parameters.txt:91-93).
+The pretrained ORBvoc.txt is absent from the reference snapshot (SURVEY.md
+§0), so the vocabulary is *built* here: hierarchical k-majority clustering
+over binary descriptors (host-side, offline — the DBoW2 training recipe),
+then stored as dense per-level center arrays.
+
+TPU design: descriptor-to-word assignment is a tree descent where each
+level is one batched Hamming argmin (the |a|+|b|-2ab matmul identity, see
+ops/matching.py) — no pointer chasing. Database scoring is the DBoW2 L1
+score s(v, w) = 1 - 0.5*|v/|v| - w/|w||_1, vmapped over all stored
+keyframes at once; the reference's O(n) linear scan becomes one batched
+kernel, and shards over the keyframe axis on a mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DESC_BITS = 256
+
+
+class Vocabulary(NamedTuple):
+    """Dense vocabulary tree: ``centers[l]`` has shape (k^(l+1), 256) in
+    {0,1}; leaves are level depth-1. idf: (n_leaves,) inverse document
+    frequency weights."""
+
+    centers: Tuple[jnp.ndarray, ...]
+    idf: jnp.ndarray
+
+    @property
+    def branching(self) -> int:
+        return self.centers[0].shape[0]
+
+    @property
+    def n_leaves(self) -> int:
+        return self.centers[-1].shape[0]
+
+
+def build_vocabulary(descriptors: np.ndarray, branching: int = 10,
+                     depth: int = 3, seed: int = 0,
+                     kmeans_iters: int = 8) -> Vocabulary:
+    """Hierarchical k-majority clustering of binary descriptors (host-side,
+    offline — the DBoW2 ORBvoc training recipe). descriptors: (N, 256)
+    {0,1}. Empty branches get random centers so the tree stays complete
+    (dense arrays need every slot)."""
+    rng = np.random.default_rng(seed)
+    desc = descriptors.astype(np.uint8)
+    n_total = len(desc)
+
+    def kmajority(data: np.ndarray, k: int) -> np.ndarray:
+        if len(data) == 0:
+            return rng.integers(0, 2, (k, DESC_BITS)).astype(np.uint8)
+        init = data[rng.choice(len(data), size=min(k, len(data)),
+                               replace=False)]
+        if len(init) < k:
+            extra = rng.integers(0, 2, (k - len(init), DESC_BITS))
+            init = np.concatenate([init, extra.astype(np.uint8)])
+        centers = init.astype(np.float32)
+        for _ in range(kmeans_iters):
+            d = (data.sum(1)[:, None] + centers.sum(1)[None, :]
+                 - 2.0 * data @ centers.T)
+            assign = d.argmin(1)
+            for j in range(k):
+                members = data[assign == j]
+                if len(members):
+                    centers[j] = (members.mean(0) > 0.5)
+        return centers.astype(np.uint8)
+
+    levels = []
+    groups = [desc]
+    for lvl in range(depth):
+        centers_l = []
+        next_groups = []
+        for g in groups:
+            c = kmajority(g, branching)
+            centers_l.append(c)
+            if len(g):
+                d = (g.sum(1)[:, None] + c.sum(1)[None, :]
+                     - 2.0 * g @ c.T.astype(np.float32))
+                assign = d.argmin(1)
+            else:
+                assign = np.zeros(0, np.int64)
+            for j in range(branching):
+                next_groups.append(g[assign == j] if len(g) else g)
+        levels.append(np.concatenate(centers_l, axis=0))
+        groups = next_groups
+
+    # idf over the leaves from the training corpus
+    n_leaves = branching ** depth
+    counts = np.array([len(g) for g in groups], np.float32)
+    idf = np.log(max(n_total, 1) / np.maximum(counts, 1.0))
+    return Vocabulary(
+        centers=tuple(jnp.asarray(l) for l in levels),
+        idf=jnp.asarray(idf))
+
+
+@partial(jax.jit, static_argnames=())
+def transform(vocab: Vocabulary, desc: jnp.ndarray,
+              valid: jnp.ndarray) -> jnp.ndarray:
+    """Descriptors (N, 256) -> L1-normalized tf-idf BoW vector (n_leaves,)
+    (the DBoW2 transform the reference runs per keyframe, looper.h:39-45)."""
+    k = vocab.branching
+    n = desc.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+    d = desc.astype(jnp.float32)
+    d_sum = jnp.sum(d, axis=-1)
+    for centers_l in vocab.centers:
+        # children of `node` are node*k .. node*k+k-1
+        child_idx = node[:, None] * k + jnp.arange(k)[None, :]
+        c = centers_l[child_idx].astype(jnp.float32)     # (N, k, 256)
+        ham = (d_sum[:, None] + jnp.sum(c, axis=-1)
+               - 2.0 * jnp.einsum("nb,nkb->nk", d, c,
+                                  preferred_element_type=jnp.float32))
+        node = (node * k + jnp.argmin(ham, axis=-1)).astype(jnp.int32)
+    tf = jnp.zeros(vocab.n_leaves).at[node].add(
+        valid.astype(jnp.float32))
+    v = tf * vocab.idf
+    return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-9)
+
+
+def l1_score(v: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 similarity of two L1-normalized vectors: in [0, 1]."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v - w), axis=-1)
+
+
+@partial(jax.jit, static_argnames=())
+def get_possible_loops(bow: jnp.ndarray, db_bows: jnp.ndarray,
+                       db_ids: jnp.ndarray, db_valid: jnp.ndarray,
+                       query_id: jnp.ndarray,
+                       min_score: float, min_interval: int
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched version of the reference's linear candidate scan
+    (looper.cpp:5-18): score every stored keyframe at once; candidates are
+    scores > min_score with id gap > min_interval.
+
+    Returns (scores (M,), candidate_mask (M,))."""
+    scores = l1_score(bow[None, :], db_bows)
+    gap = jnp.abs(query_id - db_ids)
+    mask = db_valid & (scores > min_score) & (gap > min_interval)
+    return scores, mask

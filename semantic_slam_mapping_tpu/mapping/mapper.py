@@ -1,0 +1,186 @@
+"""Dense semantic point-cloud mapping.
+
+Replaces the reference's PCL-based ``Mapper`` (reference: src/mapper.cpp —
+``generatePointCloud`` per-pixel loop with depth/motion/class filters
+:12-94, ``semantic_motion_fuse`` pedestrian/bicyclist mask + dilation
+:189-216, voxel-grid downsampling at mapper_resolution :106-155, periodic
+full rebuild from every 2nd keyframe vs last-5 incremental :121-149, PCD
+save :165-170; knobs parameters.txt:96-102).
+
+TPU design: per-keyframe point generation + filtering + voxelization is one
+jitted fixed-shape program (`vmap`-able over keyframe batches); the voxel
+key reduction is sort+segment-unique on device. The global map is a
+host-side voxel dictionary (numpy) accumulated at keyframe epochs — the
+viewer/IO side of the reference's mapper thread, deliberately off the hot
+path. A spatially-block-sharded device-resident variant (halo exchange over
+ICI) is the parallel/ roadmap (SURVEY.md §2.3 "Spatial map sharding")."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_slam_mapping_tpu.config import CameraConfig, MapperConfig
+from semantic_slam_mapping_tpu.geometry.camera import Intrinsics
+from semantic_slam_mapping_tpu.mapping import semantics
+from semantic_slam_mapping_tpu.ops import image as im
+
+
+class FrameCloud(NamedTuple):
+    """Fixed-budget voxelized cloud of one keyframe (world frame)."""
+
+    xyz: jnp.ndarray     # (P, 3)
+    rgb: jnp.ndarray     # (P, 3) float [0,1]
+    label: jnp.ndarray   # (P,) int32
+    valid: jnp.ndarray   # (P,)
+
+
+def semantic_motion_mask(labels: jnp.ndarray,
+                         cfg: MapperConfig) -> jnp.ndarray:
+    """Pedestrian/Bicyclist classes -> binary mask, dilated 3x3 twice
+    (semantic_motion_fuse, mapper.cpp:189-216)."""
+    m = jnp.zeros_like(labels, dtype=bool)
+    for c in semantics.MOTION_CLASSES:
+        m = m | (labels == c)
+    return im.dilate(m, 3, cfg.dilate_iters)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam", "budget"))
+def generate_point_cloud(depth: jnp.ndarray, color: jnp.ndarray,
+                         labels: jnp.ndarray, moving_mask: jnp.ndarray,
+                         pose: jnp.ndarray, K: Intrinsics,
+                         cam: CameraConfig,
+                         cfg: MapperConfig = MapperConfig(),
+                         budget: int = 1 << 17) -> FrameCloud:
+    """One keyframe -> filtered, voxelized world-frame point cloud.
+
+    Filters (generatePointCloud, mapper.cpp:22-86): depth > 0, depth <
+    mapper_max_distance, not in the fused moving mask, class not in
+    {sky, pole, bicyclist}. Colors come from the RGB image (the reference's
+    chosen variant, mapper.cpp:82-84).
+    """
+    H, W = depth.shape
+    fused_moving = moving_mask | semantic_motion_mask(labels, cfg)
+
+    keep = ((depth > 1e-3)
+            & (depth < cfg.max_distance)
+            & ~fused_moving)
+    for c in semantics.MAP_EXCLUDED_CLASSES:
+        keep = keep & (labels != c)
+
+    # backproject + world transform
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    x = (u - K.cx) * depth / K.fx
+    y = (v - K.cy) * depth / K.fy
+    pts_c = jnp.stack([x, y, depth], axis=-1).reshape(-1, 3)
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    pts_w = pts_c @ R.T + t
+
+    flat_keep = keep.reshape(-1)
+    flat_rgb = color.reshape(-1, 3)
+    flat_lbl = labels.reshape(-1)
+
+    # ---- voxelization: quantize -> sort by voxel key -> keep first of
+    # each run (the PCL VoxelGrid role, mapper.cpp:106-155) ----
+    res = cfg.resolution
+    span = int(2.0 * cfg.max_distance / res) + 2     # cells per axis
+    origin = t - cfg.max_distance
+    q = jnp.floor((pts_w - origin) / res).astype(jnp.int32)
+    q = jnp.clip(q, 0, span - 1)
+    key = (q[:, 0] * span + q[:, 1]) * span + q[:, 2]
+    key = jnp.where(flat_keep, key, jnp.int32(2147483647))
+
+    order = jnp.argsort(key)
+    key_s = key[order]
+    first = jnp.concatenate([jnp.array([True]), key_s[1:] != key_s[:-1]])
+    uniq = first & (key_s != 2147483647)
+
+    # compact the unique voxels to the fixed budget
+    rank = jnp.cumsum(uniq) - 1
+    slot = jnp.where(uniq & (rank < budget), rank, budget)
+    xyz_out = jnp.zeros((budget + 1, 3)).at[slot].set(pts_w[order])
+    rgb_out = jnp.zeros((budget + 1, 3)).at[slot].set(flat_rgb[order])
+    lbl_out = jnp.zeros(budget + 1, jnp.int32).at[slot].set(flat_lbl[order])
+    n = jnp.minimum(jnp.sum(uniq), budget)
+    valid = jnp.arange(budget) < n
+    return FrameCloud(xyz=xyz_out[:budget], rgb=rgb_out[:budget],
+                      label=lbl_out[:budget], valid=valid)
+
+
+class GlobalMap:
+    """Host-side voxel map accumulator (the mapper thread's role: rebuild
+    policy mapper.cpp:121-149, voxel filter :153-155, PCD export :165-170)."""
+
+    def __init__(self, cfg: MapperConfig):
+        self.cfg = cfg
+        self.voxels: Dict[Tuple[int, int, int], Tuple[np.ndarray, np.ndarray,
+                                                      int]] = {}
+        self.updates = 0
+
+    def insert_cloud(self, cloud: FrameCloud):
+        xyz = np.asarray(cloud.xyz)[np.asarray(cloud.valid)]
+        rgb = np.asarray(cloud.rgb)[np.asarray(cloud.valid)]
+        lbl = np.asarray(cloud.label)[np.asarray(cloud.valid)]
+        q = np.floor(xyz / self.cfg.resolution).astype(np.int64)
+        for i in range(len(xyz)):
+            k = (int(q[i, 0]), int(q[i, 1]), int(q[i, 2]))
+            self.voxels[k] = (xyz[i], rgb[i], int(lbl[i]))
+        self.updates += 1
+
+    def rebuild(self, clouds):
+        """Full rebuild from a list of FrameClouds (the every-15th-update
+        full regeneration, mapper.cpp:121-131)."""
+        self.voxels.clear()
+        for c in clouds:
+            self.insert_cloud(c)
+
+    def as_arrays(self):
+        if not self.voxels:
+            return (np.zeros((0, 3), np.float32),
+                    np.zeros((0, 3), np.float32), np.zeros(0, np.int32))
+        xyz = np.stack([v[0] for v in self.voxels.values()])
+        rgb = np.stack([v[1] for v in self.voxels.values()])
+        lbl = np.array([v[2] for v in self.voxels.values()], np.int32)
+        return xyz, rgb, lbl
+
+    def __len__(self):
+        return len(self.voxels)
+
+    def save_pcd(self, path: str, binary: bool = True):
+        xyz, rgb, lbl = self.as_arrays()
+        write_pcd(path, xyz, rgb, binary=binary)
+
+
+def write_pcd(path: str, xyz: np.ndarray, rgb: np.ndarray,
+              binary: bool = True):
+    """PCD v0.7 writer (the pcl::io::savePCDFile role, mapper.cpp:165-170).
+    Points are x,y,z + packed float rgb (PCL XYZRGBA layout)."""
+    n = len(xyz)
+    r = (np.clip(rgb[:, 0], 0, 1) * 255).astype(np.uint32)
+    g = (np.clip(rgb[:, 1], 0, 1) * 255).astype(np.uint32)
+    b = (np.clip(rgb[:, 2], 0, 1) * 255).astype(np.uint32)
+    packed = (r << 16) | (g << 8) | b
+    rgb_f = packed.view(np.float32) if packed.dtype.itemsize == 4 else \
+        packed.astype(np.uint32).view(np.float32)
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\nFIELDS x y z rgb\nSIZE 4 4 4 4\nTYPE F F F F\n"
+        f"COUNT 1 1 1 1\nWIDTH {n}\nHEIGHT 1\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {n}\nDATA {'binary' if binary else 'ascii'}\n")
+    data = np.empty((n, 4), np.float32)
+    data[:, :3] = xyz
+    data[:, 3] = rgb_f
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        if binary:
+            f.write(data.tobytes())
+        else:
+            for row in data:
+                f.write((" ".join(f"{x:.6f}" for x in row) + "\n").encode())

@@ -1,0 +1,329 @@
+"""End-to-end SLAM system: frontend tracking + keyframing + pose-graph
+backend + loop closure, orchestrated as deterministic staged epochs.
+
+Replaces the reference's main entry point ``segnet-slam``
+(reference: experiment/exp_mapping.cpp:18-59) and the pose-graph thread
+``PoseGraph::mainLoop`` (pose_graph.cpp:82-305). Where the reference hides
+backend latency behind a condvar-woken thread with shared mutable keyframes
+(SURVEY.md §2.3), this system runs the backend at *keyframe epochs* on the
+same stream — deterministic, replayable, and safe to shard (the async
+overlap returns as device-level pipelining, not host threads).
+
+Flow per frame (call stack mirror of SURVEY.md §3.1-3.2):
+  track_frame (SGBM -> quad match -> RANSAC VO -> UV moving mask)
+  -> keyframe gate (translation/rotation vs last KF, pose_graph.cpp:29-36)
+  -> on accept: ORB + BoW, odometry edge, nearby-KF PnP+viso edges
+     (pose_graph.cpp:108-179), loop candidates -> PnP gate -> viso
+     re-measure -> loop edges (:181-234)
+  -> accumulated-chi2-triggered local/global optimization (:238-296)
+  -> tracker re-anchor (adjust, :298-302).
+
+The keyframe database lives on the host (numpy) — poses, BoW vectors, ORB
+features and half-precision stereo images — while every compute step is a
+jitted device call over fixed-shape slices of it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_slam_mapping_tpu.backend import looper as lp
+from semantic_slam_mapping_tpu.backend import pnp as pnp_mod
+from semantic_slam_mapping_tpu.backend import pose_graph as pg
+from semantic_slam_mapping_tpu.config import SlamConfig
+from semantic_slam_mapping_tpu.frontend import quadmatch, tracker, vo
+from semantic_slam_mapping_tpu.geometry import se3
+from semantic_slam_mapping_tpu.geometry.camera import (Intrinsics,
+                                                       triangulate_stereo)
+from semantic_slam_mapping_tpu.ops import orb
+from semantic_slam_mapping_tpu.utils.logging import get_logger
+
+log = get_logger("pipeline")
+
+
+@dataclasses.dataclass
+class Keyframe:
+    """Host-side keyframe record (the RGBDFrame data the backend reuses)."""
+
+    kf_id: int
+    frame_index: int
+    pose: np.ndarray              # (4, 4) T_w_c
+    bow: np.ndarray               # (n_leaves,)
+    feat_xy: np.ndarray           # (N, 2)
+    feat_desc: np.ndarray         # (N, 256) uint8
+    feat_xyz: np.ndarray          # (N, 3) camera-frame 3D (from disparity)
+    feat_valid: np.ndarray        # (N,)
+    left: np.ndarray              # (H, W) float16 — for viso re-measure
+    right: np.ndarray             # (H, W) float16
+    color: Optional[np.ndarray] = None     # (H, W, 3) uint8, for mapping
+    semantic: Optional[np.ndarray] = None  # (H, W) int32, for mapping
+    disparity: Optional[np.ndarray] = None  # (H, W) float16, for mapping
+
+
+class SlamSystem:
+    """Single-process SLAM engine (the exp_mapping composition)."""
+
+    def __init__(self, cfg: SlamConfig, vocab: Optional[lp.Vocabulary] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.K = Intrinsics.from_config(cfg.camera)
+        self.state = tracker.TrackerState.initial()
+        self.key = jax.random.PRNGKey(seed)
+        self.vocab = vocab
+        self.keyframes: List[Keyframe] = []
+        self.graph = pg.PoseGraph.empty(cfg.pose_graph.max_keyframes,
+                                        cfg.pose_graph.max_keyframes * 8)
+        self.n_edges = 0
+        self.local_error = 0.0
+        self.loop_error = 0.0
+        self.trajectory: List[np.ndarray] = []
+        self.frame_count = 0
+        self.n_loop_edges = 0
+        self.n_optimizations = 0
+        self._prev = None  # previous (left, right) device arrays
+
+    # ------------------------------------------------------------------
+    def process_frame(self, left, right, color=None, semantic=None):
+        """Feed one stereo frame; returns the FrameResult (or None for the
+        very first frame, which only primes the pair buffer)."""
+        left = jnp.asarray(left, jnp.float32)
+        right = jnp.asarray(right, jnp.float32)
+        if self._prev is None:
+            self._prev = (left, right)
+            self.trajectory.append(np.eye(4))
+            self.frame_count += 1
+            return None
+
+        self.key, k = jax.random.split(self.key)
+        prev_left, prev_right = self._prev
+        self.state, out = tracker.track_frame(
+            self.state, left, right, prev_left, prev_right,
+            self.K, k, self.cfg)
+        self._prev = (left, right)
+        self.trajectory.append(np.asarray(out.pose))
+        self.frame_count += 1
+
+        if self._keyframe_due(out):
+            self._insert_keyframe(out, left, right, color, semantic)
+        return out
+
+    # ------------------------------------------------------------------
+    def _keyframe_due(self, out) -> bool:
+        """Keyframe policy (pose_graph.cpp:29-36): first frame always; then
+        translation > keyframe_min_translation or rotation >
+        keyframe_min_rotation relative to the last keyframe."""
+        if not self.keyframes:
+            return True
+        ref = self.keyframes[-1].pose
+        rel = np.linalg.inv(ref) @ np.asarray(out.pose)
+        dt = float(np.linalg.norm(rel[:3, 3]))
+        dr = float(np.asarray(se3.rotation_angle(jnp.asarray(rel))))
+        return (dt > self.cfg.pose_graph.keyframe_min_translation
+                or dr > self.cfg.pose_graph.keyframe_min_rotation)
+
+    # ------------------------------------------------------------------
+    def _extract_features(self, left, disparity):
+        feats = orb.extract(left, self.cfg.orb)
+        # 3D positions from disparity at feature locations (the reference
+        # fills Feature::position from depth, orb.h:32-53)
+        from semantic_slam_mapping_tpu.ops.image import bilinear_sample
+        d = bilinear_sample(disparity, feats.xy)
+        has_depth = d > 0.5
+        xyz = triangulate_stereo(self.K, feats.xy, jnp.maximum(d, 0.5))
+        return feats, xyz, feats.valid & has_depth
+
+    # ------------------------------------------------------------------
+    def _insert_keyframe(self, out, left, right, color, semantic):
+        cfg = self.cfg
+        kf_id = len(self.keyframes)
+        if kf_id >= cfg.pose_graph.max_keyframes:
+            log.warning("keyframe budget exhausted; dropping keyframe")
+            return
+        feats, xyz, feat_valid = self._extract_features(left, out.disparity)
+        bow = (lp.transform(self.vocab, feats.desc, feats.valid)
+               if self.vocab is not None else None)
+
+        kf = Keyframe(
+            kf_id=kf_id, frame_index=self.frame_count - 1,
+            pose=np.asarray(out.pose),
+            bow=np.asarray(bow) if bow is not None else None,
+            feat_xy=np.asarray(feats.xy),
+            feat_desc=np.asarray(feats.desc),
+            feat_xyz=np.asarray(xyz),
+            feat_valid=np.asarray(feat_valid),
+            left=np.asarray(left, np.float16),
+            right=np.asarray(right, np.float16),
+            color=(np.asarray(color) if color is not None else None),
+            semantic=(np.asarray(semantic) if semantic is not None else None),
+            disparity=np.asarray(out.disparity, np.float16))
+        self.keyframes.append(kf)
+
+        # graph vertex
+        self.graph = self.graph._replace(
+            poses=self.graph.poses.at[kf_id].set(jnp.asarray(kf.pose)),
+            vertex_valid=self.graph.vertex_valid.at[kf_id].set(True))
+
+        if kf_id == 0:
+            return
+        # odometry edge to the previous keyframe (pose_graph.cpp:39-65)
+        prev = self.keyframes[kf_id - 1]
+        T_rel = np.linalg.inv(prev.pose) @ kf.pose
+        self._add_edge(kf_id - 1, kf_id, T_rel, is_loop=False)
+
+        # nearby-keyframe edges (pose_graph.cpp:108-179)
+        lo = max(0, kf_id - 1 - cfg.pose_graph.nearby_keyframes)
+        for ref in self.keyframes[lo:kf_id - 1]:
+            self._try_edge(ref, kf, is_loop=False)
+
+        # loop closure (pose_graph.cpp:181-234)
+        if self.vocab is not None:
+            self._try_loops(kf)
+
+        self._maybe_optimize()
+
+    # ------------------------------------------------------------------
+    def _add_edge(self, i, j, T_rel, is_loop, chi2=0.0):
+        e = self.n_edges
+        if e >= self.graph.edge_T.shape[0]:
+            log.warning("edge budget exhausted; dropping edge")
+            return
+        self.graph = self.graph._replace(
+            edge_i=self.graph.edge_i.at[e].set(i),
+            edge_j=self.graph.edge_j.at[e].set(j),
+            edge_T=self.graph.edge_T.at[e].set(jnp.asarray(T_rel)),
+            edge_info=self.graph.edge_info.at[e].set(
+                self.cfg.pose_graph.information_weight),
+            edge_valid=self.graph.edge_valid.at[e].set(True),
+            edge_is_loop=self.graph.edge_is_loop.at[e].set(is_loop))
+        self.n_edges += 1
+        if is_loop:
+            self.loop_error += chi2
+            self.n_loop_edges += 1
+        else:
+            self.local_error += chi2
+
+    # ------------------------------------------------------------------
+    def _try_edge(self, ref: Keyframe, kf: Keyframe, is_loop: bool) -> bool:
+        """PnP gate then viso re-measure (the reference's two-stage edge
+        construction, pose_graph.cpp:112-159: PnP qualifies the pair, the
+        quad-match VO relative pose overwrites the measurement)."""
+        T_init = np.linalg.inv(ref.pose) @ kf.pose
+        info = pnp_mod.solve_pnp_lazy(
+            jnp.asarray(ref.feat_desc), jnp.asarray(ref.feat_xyz),
+            jnp.asarray(ref.feat_valid),
+            jnp.asarray(kf.feat_desc), jnp.asarray(kf.feat_xy),
+            jnp.asarray(kf.feat_valid),
+            self.K, jnp.asarray(np.linalg.inv(T_init).astype(np.float32)),
+            self.cfg.pnp, self.cfg.orb.knn_match_ratio)
+        if not bool(info.success):
+            return False
+        # viso re-measure: quad-match between the two keyframes' stereo
+        # pairs (ref as "previous", kf as "current")
+        m = quadmatch.quad_match(
+            cur_left=jnp.asarray(kf.left, jnp.float32),
+            cur_right=jnp.asarray(kf.right, jnp.float32),
+            prev_left=jnp.asarray(ref.left, jnp.float32),
+            prev_right=jnp.asarray(ref.right, jnp.float32),
+            qcfg=self.cfg.quadmatch, gcfg=self.cfg.gftt, kcfg=self.cfg.klt)
+        self.key, k = jax.random.split(self.key)
+        res = vo.estimate_motion(m, self.K, k, self.cfg.vo)
+        if not bool(res.success):
+            return False
+        # T_delta maps ref-cam -> kf-cam; edge wants T_ref^-1 T_kf
+        T_rel = np.asarray(se3.inverse(res.T_delta))
+        # chi2 of this edge vs current poses (what the reference adds to
+        # localAccumulatedError / loopAccumulatedError, :164-178, :226-232)
+        r = np.asarray(se3.log(jnp.asarray(
+            np.linalg.inv(T_rel) @ T_init, dtype=np.float32)))
+        chi2 = float(self.cfg.pose_graph.information_weight * (r @ r))
+        self._add_edge(ref.kf_id, kf.kf_id, T_rel, is_loop, chi2)
+        return True
+
+    # ------------------------------------------------------------------
+    def _try_loops(self, kf: Keyframe):
+        cfg = self.cfg.looper
+        db = np.stack([k.bow for k in self.keyframes[:-1]]) \
+            if len(self.keyframes) > 1 else None
+        if db is None:
+            return
+        ids = np.array([k.frame_index for k in self.keyframes[:-1]])
+        scores, mask = lp.get_possible_loops(
+            jnp.asarray(kf.bow), jnp.asarray(db), jnp.asarray(ids),
+            jnp.ones(len(ids), bool), jnp.int32(kf.frame_index),
+            cfg.min_sim_score, cfg.min_interval)
+        for idx in np.nonzero(np.asarray(mask))[0]:
+            if self._try_edge(self.keyframes[int(idx)], kf, is_loop=True):
+                log.info("loop edge %d -> %d (score %.3f)",
+                         int(idx), kf.kf_id, float(scores[idx]))
+
+    # ------------------------------------------------------------------
+    def _maybe_optimize(self, force_global: bool = False):
+        """Accumulated-error-triggered optimization (pose_graph.cpp:238-296)
+        + tracker re-anchor (:298-302)."""
+        cfg = self.cfg.pose_graph
+        n = len(self.keyframes)
+        did = False
+        if force_global or self.loop_error > cfg.loop_accumulate_error:
+            self.graph = pg.optimize(self.graph, pg.global_free_mask(self.graph),
+                                     cfg, iters=cfg.global_iters)
+            self.loop_error = 0.0
+            self.local_error = 0.0
+            did = True
+            log.info("global optimization over %d keyframes", n)
+        elif self.local_error > cfg.local_accumulate_error:
+            mask = pg.local_free_mask(self.graph, jnp.int32(n),
+                                      cfg.local_window)
+            self.graph = pg.optimize(self.graph, mask, cfg, iters=5)
+            self.local_error = 0.0
+            did = True
+            log.info("local optimization (last %d of %d keyframes)",
+                     cfg.local_window, n)
+        if did:
+            self.n_optimizations += 1
+            poses = np.asarray(self.graph.poses[:n])
+            for i, kfr in enumerate(self.keyframes):
+                kfr.pose = poses[i]
+            # re-anchor the frontend at the optimized last keyframe
+            self.state = tracker.adjust(self.state, jnp.asarray(poses[-1]))
+            self.trajectory[-1] = poses[-1]
+
+    # ------------------------------------------------------------------
+    def finish(self) -> np.ndarray:
+        """Final global optimization + trajectory export (the reference's
+        shutdown: save traj.g2o then optimize, pose_graph.h:73-96)."""
+        if len(self.keyframes) > 1:
+            self._maybe_optimize(force_global=True)
+        return np.stack(self.trajectory)
+
+    # ------------------------------------------------------------------
+    def save_g2o(self, path: str):
+        """Export VERTEX_SE3:QUAT / EDGE_SE3:QUAT (the optimizer.save role,
+        pose_graph.h:98-134)."""
+        from semantic_slam_mapping_tpu.geometry.se3 import (
+            rotation_to_quaternion)
+        with open(path, "w") as f:
+            for kf in self.keyframes:
+                q = np.asarray(rotation_to_quaternion(
+                    jnp.asarray(kf.pose[:3, :3])))
+                t = kf.pose[:3, 3]
+                f.write(f"VERTEX_SE3:QUAT {kf.kf_id} "
+                        f"{t[0]} {t[1]} {t[2]} {q[1]} {q[2]} {q[3]} {q[0]}\n")
+            ei = np.asarray(self.graph.edge_i[:self.n_edges])
+            ej = np.asarray(self.graph.edge_j[:self.n_edges])
+            eT = np.asarray(self.graph.edge_T[:self.n_edges])
+            w = self.cfg.pose_graph.information_weight
+            info_upper = " ".join(
+                str(w if r == c else 0.0)
+                for r in range(6) for c in range(r, 6))
+            for i in range(self.n_edges):
+                q = np.asarray(rotation_to_quaternion(
+                    jnp.asarray(eT[i, :3, :3])))
+                t = eT[i, :3, 3]
+                f.write(f"EDGE_SE3:QUAT {ei[i]} {ej[i]} "
+                        f"{t[0]} {t[1]} {t[2]} {q[1]} {q[2]} {q[3]} {q[0]} "
+                        f"{info_upper}\n")

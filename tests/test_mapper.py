@@ -1,0 +1,97 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_slam_mapping_tpu.config import CameraConfig, MapperConfig
+from semantic_slam_mapping_tpu.geometry import se3
+from semantic_slam_mapping_tpu.geometry.camera import Intrinsics
+from semantic_slam_mapping_tpu.io import synthetic
+from semantic_slam_mapping_tpu.mapping import mapper, semantics
+
+H, W = 96, 256
+CAM = CameraConfig(fx=200.0, fy=200.0, cx=W / 2, cy=H / 2, baseline=0.54)
+CFG = MapperConfig(resolution=0.2, max_distance=40.0)
+BUDGET = 1 << 14
+
+
+def scene(pose=None, with_moving=False):
+    K = Intrinsics.from_config(CAM)
+    world = synthetic.make_world(jax.random.PRNGKey(40), n_boxes=8,
+                                 with_moving_box=with_moving)
+    T = pose if pose is not None else se3.identity()
+    img, depth, sem, moving = synthetic.render(K, T, world, H, W)
+    color = jnp.stack([img] * 3, axis=-1)
+    return K, depth, color, sem, moving, T
+
+
+def test_cloud_filters_and_budget():
+    K, depth, color, sem, moving, T = scene()
+    cloud = mapper.generate_point_cloud(
+        depth, color, sem, moving, T, K, CAM, CFG, budget=BUDGET)
+    n = int(cloud.valid.sum())
+    assert 0 < n <= BUDGET
+    xyz = np.asarray(cloud.xyz[cloud.valid])
+    assert np.all(np.linalg.norm(xyz, axis=1) < CFG.max_distance * 2)
+    # no sky points (sky has depth 0 anyway) and no excluded classes
+    lbl = np.asarray(cloud.label[cloud.valid])
+    for c in semantics.MAP_EXCLUDED_CLASSES:
+        assert not np.any(lbl == c)
+
+
+def test_moving_points_excluded():
+    K, depth, color, sem, moving, T = scene(with_moving=True)
+    assert int(moving.sum()) > 0
+    cloud = mapper.generate_point_cloud(
+        depth, color, sem, moving, T, K, CAM, CFG, budget=BUDGET)
+    # reconstruct which pixels produced points: moving pixels must not
+    xyz = np.asarray(cloud.xyz[cloud.valid])
+    # project back into the camera to check none fall on the moving mask
+    Ki = np.asarray([[float(K.fx), 0, float(K.cx)],
+                     [0, float(K.fy), float(K.cy)], [0, 0, 1]])
+    pc = xyz  # pose is identity
+    uv = (Ki @ (pc / pc[:, 2:3]).T).T[:, :2]
+    mv = np.asarray(moving)
+    inb = ((uv[:, 0] >= 0) & (uv[:, 0] < W - 1)
+           & (uv[:, 1] >= 0) & (uv[:, 1] < H - 1))
+    hits = mv[np.round(uv[inb, 1]).astype(int),
+              np.round(uv[inb, 0]).astype(int)]
+    assert hits.mean() < 0.02
+
+
+def test_voxel_downsample_dedups():
+    K, depth, color, sem, moving, T = scene()
+    c1 = mapper.generate_point_cloud(depth, color, sem, moving, T, K, CAM,
+                                     CFG, budget=BUDGET)
+    coarse = MapperConfig(resolution=1.0, max_distance=40.0)
+    c2 = mapper.generate_point_cloud(depth, color, sem, moving, T, K, CAM,
+                                     coarse, budget=BUDGET)
+    assert int(c2.valid.sum()) < int(c1.valid.sum())
+
+
+def test_semantic_motion_mask_dilation():
+    lbl = jnp.full((20, 20), semantics.ROAD, jnp.int32)
+    lbl = lbl.at[10, 10].set(semantics.PEDESTRIAN)
+    m = mapper.semantic_motion_mask(lbl, CFG)
+    assert bool(m[10, 10])
+    assert int(m.sum()) > 9  # dilated twice
+
+
+def test_global_map_accumulate_and_pcd(tmp_path):
+    K, depth, color, sem, moving, T = scene()
+    gm = mapper.GlobalMap(CFG)
+    c = mapper.generate_point_cloud(depth, color, sem, moving, T, K, CAM,
+                                    CFG, budget=BUDGET)
+    gm.insert_cloud(c)
+    n1 = len(gm)
+    assert n1 > 0
+    # inserting the same cloud again shouldn't grow the voxel set
+    gm.insert_cloud(c)
+    assert len(gm) == n1
+    p = tmp_path / "map.pcd"
+    gm.save_pcd(str(p))
+    head = p.read_bytes()[:200].decode(errors="ignore")
+    assert "PCD v0.7" in head and f"POINTS {n1}" in head
+    # ascii variant parses
+    gm.save_pcd(str(tmp_path / "map_ascii.pcd"), binary=False)
+    lines = (tmp_path / "map_ascii.pcd").read_text().splitlines()
+    assert len(lines) == 11 + n1

@@ -1,0 +1,78 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semantic_slam_mapping_tpu.backend import looper as lp
+from semantic_slam_mapping_tpu.config import (CameraConfig, GfttConfig,
+                                              LooperConfig, OrbConfig,
+                                              PoseGraphConfig, SgbmConfig,
+                                              SlamConfig, VoConfig)
+from semantic_slam_mapping_tpu.geometry.camera import Intrinsics
+from semantic_slam_mapping_tpu.io import synthetic
+from semantic_slam_mapping_tpu.pipeline import SlamSystem
+from semantic_slam_mapping_tpu.utils import metrics
+
+H, W = 128, 384
+N_FRAMES = 20
+CAM = CameraConfig(fx=250.0, fy=250.0, cx=W / 2, cy=H / 2, baseline=0.54)
+CFG = SlamConfig(
+    camera=CAM,
+    sgbm=SgbmConfig(num_disparities=48, sad_window_size=7,
+                    p1=8 * 49, p2=32 * 49, speckle_window_size=50),
+    vo=VoConfig(ransac_iters=40, gn_iters_hypothesis=8, gn_iters_refine=25),
+    orb=OrbConfig(n_features=256, n_levels=4),
+    pose_graph=PoseGraphConfig(keyframe_min_translation=1.2,
+                               keyframe_min_rotation=0.4,
+                               pcg_iters=40, max_keyframes=64),
+    looper=LooperConfig(min_sim_score=0.03, min_interval=6),
+)
+
+
+@pytest.fixture(scope="module")
+def seq_and_vocab():
+    K = Intrinsics.from_config(CAM)
+    world = synthetic.make_world(jax.random.PRNGKey(30), n_boxes=16)
+    poses = synthetic.straight_trajectory(N_FRAMES, speed=0.45,
+                                          yaw_rate=0.01)
+    seq = synthetic.render_sequence(K, world, poses, H, W)
+    # vocab trained on descriptors from a few frames of the same world
+    from semantic_slam_mapping_tpu.ops import orb as orb_mod
+    descs = []
+    for i in (0, N_FRAMES // 2, N_FRAMES - 1):
+        f = orb_mod.extract(seq["left"][i], CFG.orb)
+        descs.append(np.asarray(f.desc[f.valid]))
+    vocab = lp.build_vocabulary(np.concatenate(descs), branching=6, depth=3)
+    return seq, vocab
+
+
+def test_full_pipeline_runs_and_tracks(seq_and_vocab):
+    seq, vocab = seq_and_vocab
+    sys_ = SlamSystem(CFG, vocab=vocab)
+    for i in range(N_FRAMES):
+        out = sys_.process_frame(seq["left"][i], seq["right"][i])
+        if i > 0:
+            assert out is not None
+    traj = sys_.finish()
+    assert traj.shape == (N_FRAMES, 4, 4)
+    assert len(sys_.keyframes) >= 3
+    assert sys_.n_edges >= len(sys_.keyframes) - 1
+    gt = np.asarray(seq["poses"])
+    ate = metrics.absolute_trajectory_error(traj, gt)
+    assert ate.rmse < 0.35, ate
+
+
+def test_g2o_export(tmp_path, seq_and_vocab):
+    seq, vocab = seq_and_vocab
+    sys_ = SlamSystem(CFG, vocab=vocab)
+    for i in range(N_FRAMES):
+        sys_.process_frame(seq["left"][i], seq["right"][i])
+    sys_.finish()
+    p = tmp_path / "traj.g2o"
+    sys_.save_g2o(str(p))
+    text = p.read_text()
+    assert text.count("VERTEX_SE3:QUAT") == len(sys_.keyframes)
+    assert text.count("EDGE_SE3:QUAT") == sys_.n_edges
+    # vertex line has 1 id + 7 floats
+    first = text.splitlines()[0].split()
+    assert first[0] == "VERTEX_SE3:QUAT" and len(first) == 9
