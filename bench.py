@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Headline benchmark: full SLAM frontend frames/s at the KITTI operating
+point (376x1248 stereo, SGBM 80 disparities, GFTT+KLT quad matching, 200-
+hypothesis RANSAC VO, U-V-disparity moving-object masking — the per-frame
+hot loop of the reference's segnet-slam, SURVEY.md §3.1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the reference-equivalent CPU frames/s recorded
+in BASELINE_MEASURED.json (the reference publishes no numbers — BASELINE.md;
+the anchor is this same pipeline run on the host CPU, measured via
+`python bench.py --measure-cpu-baseline`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+BASELINE_FILE = REPO / "BASELINE_MEASURED.json"
+CACHE_DIR = str(REPO / ".jax_cache")
+
+H, W = 376, 1248
+N_FRAMES = 8
+WARMUP = 2
+
+
+def _setup_jax(cpu: bool):
+    if cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+    return jax
+
+
+def run_frontend_bench(jax, n_frames: int = N_FRAMES):
+    import jax.numpy as jnp
+
+    from semantic_slam_mapping_tpu.config import SlamConfig
+    from semantic_slam_mapping_tpu.frontend import tracker
+    from semantic_slam_mapping_tpu.geometry.camera import Intrinsics
+    from semantic_slam_mapping_tpu.io import synthetic
+
+    cfg = SlamConfig()  # reference operating point (KITTI intrinsics)
+    K = Intrinsics.from_config(cfg.camera)
+    world = synthetic.make_world(jax.random.PRNGKey(0), n_boxes=14)
+    poses = synthetic.straight_trajectory(n_frames + WARMUP + 1, speed=0.8)
+    seq = jax.jit(
+        lambda p: synthetic.render_sequence(K, world, p, H, W))(poses)
+    jax.block_until_ready(seq)
+
+    state = tracker.TrackerState.initial()
+    key = jax.random.PRNGKey(1)
+
+    def step(state, i, key):
+        return tracker.track_frame(
+            state, seq["left"][i], seq["right"][i],
+            seq["left"][i - 1], seq["right"][i - 1], K, key, cfg)
+
+    # compile + warmup
+    t_c0 = time.time()
+    for i in range(1, 1 + WARMUP):
+        key, k = jax.random.split(key)
+        state, out = step(state, i, k)
+        jax.block_until_ready(out.pose)
+    compile_s = time.time() - t_c0
+
+    t0 = time.time()
+    n_ok = 0
+    for i in range(1 + WARMUP, 1 + WARMUP + n_frames):
+        key, k = jax.random.split(key)
+        state, out = step(state, i, k)
+        n_ok += int(out.vo_success)
+    jax.block_until_ready(out.pose)
+    dt = time.time() - t0
+    fps = n_frames / dt
+    return fps, compile_s, n_ok, n_frames
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure-cpu-baseline", action="store_true",
+                    help="measure the reference-equivalent CPU frames/s "
+                         "and write BASELINE_MEASURED.json")
+    ap.add_argument("--frames", type=int, default=N_FRAMES)
+    args = ap.parse_args()
+
+    jax = _setup_jax(cpu=args.measure_cpu_baseline)
+
+    fps, compile_s, n_ok, n = run_frontend_bench(jax, args.frames)
+
+    if args.measure_cpu_baseline:
+        BASELINE_FILE.write_text(json.dumps({
+            "metric": "frontend_frames_per_s",
+            "cpu_fps": fps,
+            "note": "reference-equivalent CPU anchor: this framework's "
+                    "frontend (SGBM+quadmatch+RANSAC VO+UV-disparity) on "
+                    "host CPU at the KITTI operating point; the reference "
+                    "records no numbers (BASELINE.md)",
+            "frames": n,
+        }, indent=2) + "\n")
+        print(json.dumps({"metric": "frontend_frames_per_s_cpu",
+                          "value": round(fps, 3), "unit": "frames/s",
+                          "vs_baseline": 1.0}))
+        return
+
+    vs = None
+    if BASELINE_FILE.exists():
+        base = json.loads(BASELINE_FILE.read_text()).get("cpu_fps")
+        if base:
+            vs = fps / base
+    print(json.dumps({
+        "metric": "frontend_frames_per_s",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 3) if vs else 0.0,
+    }))
+    print(f"# compile+warmup {compile_s:.1f}s, vo_success {n_ok}/{n}, "
+          f"device {jax.devices()[0].platform}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+// Native voxel-map accumulator + PCD export.
+//
+// The host-runtime counterpart of the reference's PCL usage (reference:
+// src/mapper.cpp:106-170 — voxel-grid downsampling + global cloud container
+// + pcl::io::savePCDFile). Device-side per-frame voxelization happens in
+// JAX (mapping/mapper.py); this library owns the *global* map: a hash-map
+// keyed by quantized world coordinates, accumulating running color means
+// and majority semantic labels per voxel, with zero Python overhead on the
+// insert path. Exposed to Python via a plain C ABI consumed with ctypes
+// (mapping/native.py).
+//
+// Build: see native/build.sh (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Voxel {
+  float x, y, z;
+  float r, g, b;
+  uint32_t count;
+  // per-class hit counts would cost 12*4B/voxel; a decaying majority vote
+  // (current label + its streak) gives the same mapper-filter behavior at
+  // 8 bytes (Boyer-Moore majority on the label stream)
+  int32_t label;
+  int32_t label_streak;
+};
+
+// pack signed 21-bit quantized coords into a 64-bit key
+inline uint64_t pack_key(int64_t qx, int64_t qy, int64_t qz) {
+  const uint64_t mask = (1ULL << 21) - 1;
+  return ((static_cast<uint64_t>(qx) & mask) << 42) |
+         ((static_cast<uint64_t>(qy) & mask) << 21) |
+         (static_cast<uint64_t>(qz) & mask);
+}
+
+struct VoxelMap {
+  float resolution;
+  std::unordered_map<uint64_t, Voxel> cells;
+  std::mutex mu;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* voxel_map_create(float resolution) {
+  auto* m = new VoxelMap();
+  m->resolution = resolution;
+  m->cells.reserve(1 << 20);
+  return m;
+}
+
+void voxel_map_destroy(void* h) { delete static_cast<VoxelMap*>(h); }
+
+void voxel_map_clear(void* h) {
+  auto* m = static_cast<VoxelMap*>(h);
+  std::lock_guard<std::mutex> lock(m->mu);
+  m->cells.clear();
+}
+
+// xyz: n*3 floats, rgb: n*3 floats in [0,1], label: n ints,
+// valid: n bytes (0/1)
+void voxel_map_insert(void* h, const float* xyz, const float* rgb,
+                      const int32_t* label, const uint8_t* valid,
+                      int64_t n) {
+  auto* m = static_cast<VoxelMap*>(h);
+  std::lock_guard<std::mutex> lock(m->mu);
+  const float inv_res = 1.0f / m->resolution;
+  for (int64_t i = 0; i < n; ++i) {
+    if (valid && !valid[i]) continue;
+    const float x = xyz[3 * i], y = xyz[3 * i + 1], z = xyz[3 * i + 2];
+    const int64_t qx = static_cast<int64_t>(x * inv_res) + (x < 0 ? -1 : 0);
+    const int64_t qy = static_cast<int64_t>(y * inv_res) + (y < 0 ? -1 : 0);
+    const int64_t qz = static_cast<int64_t>(z * inv_res) + (z < 0 ? -1 : 0);
+    const uint64_t key = pack_key(qx, qy, qz);
+    auto it = m->cells.find(key);
+    if (it == m->cells.end()) {
+      Voxel v{x, y, z, rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2],
+              1u, label ? label[i] : 0, 1};
+      m->cells.emplace(key, v);
+    } else {
+      Voxel& v = it->second;
+      const float w = 1.0f / static_cast<float>(v.count + 1);
+      v.x += (x - v.x) * w;
+      v.y += (y - v.y) * w;
+      v.z += (z - v.z) * w;
+      v.r += (rgb[3 * i] - v.r) * w;
+      v.g += (rgb[3 * i + 1] - v.g) * w;
+      v.b += (rgb[3 * i + 2] - v.b) * w;
+      v.count++;
+      if (label) {
+        if (label[i] == v.label) {
+          v.label_streak++;
+        } else if (--v.label_streak <= 0) {
+          v.label = label[i];
+          v.label_streak = 1;
+        }
+      }
+    }
+  }
+}
+
+int64_t voxel_map_size(void* h) {
+  auto* m = static_cast<VoxelMap*>(h);
+  std::lock_guard<std::mutex> lock(m->mu);
+  return static_cast<int64_t>(m->cells.size());
+}
+
+// extract up to max_n voxels; returns the number written
+int64_t voxel_map_extract(void* h, float* xyz_out, float* rgb_out,
+                          int32_t* label_out, int64_t max_n) {
+  auto* m = static_cast<VoxelMap*>(h);
+  std::lock_guard<std::mutex> lock(m->mu);
+  int64_t i = 0;
+  for (const auto& kv : m->cells) {
+    if (i >= max_n) break;
+    const Voxel& v = kv.second;
+    xyz_out[3 * i] = v.x;
+    xyz_out[3 * i + 1] = v.y;
+    xyz_out[3 * i + 2] = v.z;
+    rgb_out[3 * i] = v.r;
+    rgb_out[3 * i + 1] = v.g;
+    rgb_out[3 * i + 2] = v.b;
+    if (label_out) label_out[i] = v.label;
+    ++i;
+  }
+  return i;
+}
+
+// PCD v0.7 export (x y z rgb-packed), binary or ascii
+int voxel_map_save_pcd(void* h, const char* path, int binary) {
+  auto* m = static_cast<VoxelMap*>(h);
+  std::lock_guard<std::mutex> lock(m->mu);
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  const int64_t n = static_cast<int64_t>(m->cells.size());
+  fprintf(f,
+          "# .PCD v0.7 - Point Cloud Data file format\n"
+          "VERSION 0.7\nFIELDS x y z rgb\nSIZE 4 4 4 4\nTYPE F F F F\n"
+          "COUNT 1 1 1 1\nWIDTH %lld\nHEIGHT 1\n"
+          "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS %lld\nDATA %s\n",
+          static_cast<long long>(n), static_cast<long long>(n),
+          binary ? "binary" : "ascii");
+  for (const auto& kv : m->cells) {
+    const Voxel& v = kv.second;
+    const uint32_t r = static_cast<uint32_t>(v.r * 255.0f) & 0xff;
+    const uint32_t g = static_cast<uint32_t>(v.g * 255.0f) & 0xff;
+    const uint32_t b = static_cast<uint32_t>(v.b * 255.0f) & 0xff;
+    const uint32_t packed = (r << 16) | (g << 8) | b;
+    float packed_f;
+    std::memcpy(&packed_f, &packed, 4);
+    if (binary) {
+      float row[4] = {v.x, v.y, v.z, packed_f};
+      fwrite(row, 4, 4, f);
+    } else {
+      fprintf(f, "%.6f %.6f %.6f %.6f\n", v.x, v.y, v.z, packed_f);
+    }
+  }
+  fclose(f);
+  return 0;
+}
+
+}  // extern "C"

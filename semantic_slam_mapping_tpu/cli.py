@@ -1,0 +1,197 @@
+"""Command-line entry points — parity with the reference's experiment/
+binaries (reference: experiment/CMakeLists.txt:13-76):
+
+  python -m semantic_slam_mapping_tpu.cli slam     ...  (segnet-slam / exp_mapping.cpp)
+  python -m semantic_slam_mapping_tpu.cli tracker  ...  (run_tracker.cpp / exp_pose_graph.cpp)
+  python -m semantic_slam_mapping_tpu.cli segnet   ...  (offline pre-pass, experiment/segnet.cpp)
+  python -m semantic_slam_mapping_tpu.cli synth    ...  (synthetic-sequence demo + ATE report)
+
+Unlike the reference's canvas plots (run_tracker.cpp:50-63), accuracy is
+reported numerically (ATE/RPE) whenever ground truth is available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_cfg(args):
+    from semantic_slam_mapping_tpu.config import (default_config,
+                                                  load_parameters_file)
+    if args.parameters:
+        return load_parameters_file(args.parameters)
+    return default_config()
+
+
+def _report_accuracy(est, gt_path, gt=None):
+    from semantic_slam_mapping_tpu.io.gt_pose import read_kitti_poses
+    from semantic_slam_mapping_tpu.utils import metrics
+    if gt is None:
+        if not gt_path:
+            return
+        gt = read_kitti_poses(gt_path)
+    n = min(len(est), len(gt))
+    ate = metrics.absolute_trajectory_error(est[:n], gt[:n])
+    rpe_t, rpe_r = metrics.relative_pose_error(est[:n], gt[:n])
+    print(json.dumps({
+        "ate_rmse_m": round(ate.rmse, 4), "ate_median_m": round(ate.median, 4),
+        "rpe_t_rmse_m": round(rpe_t.rmse, 4),
+        "rpe_r_rmse_rad": round(rpe_r.rmse, 6), "frames": n}))
+
+
+def cmd_slam(args):
+    import jax.numpy as jnp
+
+    from semantic_slam_mapping_tpu.io.gt_pose import write_kitti_poses
+    from semantic_slam_mapping_tpu.io.kitti import KittiReader
+    from semantic_slam_mapping_tpu.pipeline import SlamSystem
+    from semantic_slam_mapping_tpu.utils.timing import StageTimer
+
+    cfg = _load_cfg(args)
+    reader = KittiReader(args.data or cfg.dataset.data_source,
+                         start_index=cfg.dataset.start_index,
+                         end_index=cfg.dataset.end_index,
+                         semantic_dir=args.semantic_dir)
+    vocab = None
+    if args.vocab:
+        vocab = np.load(args.vocab, allow_pickle=True)["vocab"].item()
+    system = SlamSystem(cfg, vocab=vocab)
+    timer = StageTimer()
+    for frame in reader:
+        with timer.stage("frame"):
+            out = system.process_frame(
+                jnp.asarray(frame.left), jnp.asarray(frame.right),
+                color=frame.color, semantic=frame.semantic)
+        if out is not None and args.verbose:
+            print(f"frame {frame.index}: inliers={int(out.n_inliers)} "
+                  f"kf={len(system.keyframes)}", file=sys.stderr)
+    traj = system.finish()
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    write_kitti_poses(out_dir / "trajectory.txt", traj)
+    system.save_g2o(str(out_dir / "traj.g2o"))
+    print(timer.report(), file=sys.stderr)
+    _report_accuracy(traj, args.gt)
+
+
+def cmd_tracker(args):
+    """Frontend-only run (run_tracker.cpp role)."""
+    args.vocab = None
+    cmd_slam(args)
+
+
+def cmd_segnet(args):
+    """Offline segmentation pre-pass: writes label (segnet_0/) and colored
+    overlay (result_0/) images, the experiment/segnet.cpp flow."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from semantic_slam_mapping_tpu.config import SegNetConfig
+    from semantic_slam_mapping_tpu.io.kitti import KittiReader
+    from semantic_slam_mapping_tpu.mapping.semantics import colorize
+    from semantic_slam_mapping_tpu.models import segnet
+    from semantic_slam_mapping_tpu.ops.image import resize_bilinear
+
+    cfg = SegNetConfig()
+    model, variables = segnet.create(cfg)
+    if args.checkpoint:
+        import pickle
+        with open(args.checkpoint, "rb") as f:
+            variables = pickle.load(f)
+    reader = KittiReader(args.data)
+    label_dir = Path(args.out) / "segnet_0"
+    result_dir = Path(args.out) / "result_0"
+    label_dir.mkdir(parents=True, exist_ok=True)
+    result_dir.mkdir(parents=True, exist_ok=True)
+    h = -(-cfg.input_height // 32) * 32
+    w = -(-cfg.input_width // 32) * 32
+    for frame in reader:
+        color = frame.color if frame.color is not None else \
+            np.stack([frame.left] * 3, -1)
+        x = resize_bilinear(jnp.asarray(color).transpose(2, 0, 1), (h, w))
+        x = x.transpose(1, 2, 0)[None]
+        labels = np.asarray(segnet.infer(model, variables, x))[0]
+        H0, W0 = frame.left.shape
+        lab_full = np.asarray(resize_bilinear(
+            jnp.asarray(labels, jnp.float32)[None], (H0, W0))[0]).astype(
+                np.uint8)
+        Image.fromarray(lab_full, "L").save(
+            label_dir / f"{frame.index:06d}.png")
+        overlay = (0.6 * color * 255
+                   + 0.4 * colorize(lab_full)).astype(np.uint8)
+        Image.fromarray(overlay, "RGB").save(
+            result_dir / f"{frame.index:06d}.png")
+        print(f"segmented {frame.index}", file=sys.stderr)
+
+
+def cmd_synth(args):
+    """Synthetic-world end-to-end demo with exact GT (no dataset needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_slam_mapping_tpu.config import default_config
+    from semantic_slam_mapping_tpu.geometry.camera import Intrinsics
+    from semantic_slam_mapping_tpu.io import synthetic
+    from semantic_slam_mapping_tpu.io.gt_pose import write_kitti_poses
+    from semantic_slam_mapping_tpu.pipeline import SlamSystem
+
+    cfg = default_config()
+    K = Intrinsics.from_config(cfg.camera)
+    world = synthetic.make_world(jax.random.PRNGKey(0), n_boxes=14)
+    poses = synthetic.straight_trajectory(args.frames, speed=0.8)
+    seq = jax.jit(lambda p: synthetic.render_sequence(
+        K, world, p, 376, 1248))(poses)
+    system = SlamSystem(cfg)
+    t0 = time.time()
+    for i in range(args.frames):
+        system.process_frame(seq["left"][i], seq["right"][i])
+    traj = system.finish()
+    dt = time.time() - t0
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    write_kitti_poses(out_dir / "trajectory.txt", traj)
+    print(f"{args.frames} frames in {dt:.1f}s "
+          f"({args.frames / dt:.2f} fps incl. compile)", file=sys.stderr)
+    _report_accuracy(traj, None, gt=np.asarray(seq["poses"]))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="semantic_slam_mapping_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--parameters", help="reference-format parameters.txt")
+    common.add_argument("--data", help="dataset directory")
+    common.add_argument("--gt", help="KITTI GT pose file")
+    common.add_argument("--out", default="out")
+    common.add_argument("--verbose", action="store_true")
+
+    p = sub.add_parser("slam", parents=[common])
+    p.add_argument("--vocab")
+    p.add_argument("--semantic-dir")
+    p.set_defaults(fn=cmd_slam)
+
+    p = sub.add_parser("tracker", parents=[common])
+    p.add_argument("--semantic-dir")
+    p.set_defaults(fn=cmd_tracker)
+
+    p = sub.add_parser("segnet", parents=[common])
+    p.add_argument("--checkpoint")
+    p.set_defaults(fn=cmd_segnet)
+
+    p = sub.add_parser("synth", parents=[common])
+    p.add_argument("--frames", type=int, default=12)
+    p.set_defaults(fn=cmd_synth)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
