@@ -69,7 +69,7 @@ class SlamSystem:
     """Single-process SLAM engine (the exp_mapping composition)."""
 
     def __init__(self, cfg: SlamConfig, vocab: Optional[lp.Vocabulary] = None,
-                 seed: int = 0):
+                 seed: int = 0, enable_mapping: bool = False):
         self.cfg = cfg
         self.K = Intrinsics.from_config(cfg.camera)
         self.state = tracker.TrackerState.initial()
@@ -86,6 +86,12 @@ class SlamSystem:
         self.n_loop_edges = 0
         self.n_optimizations = 0
         self._prev = None  # previous (left, right) device arrays
+        self.map = None
+        if enable_mapping:
+            from semantic_slam_mapping_tpu.mapping.native import \
+                make_global_map
+            self.map = make_global_map(cfg.mapper.resolution)
+            self._map_updates = 0
 
     # ------------------------------------------------------------------
     def process_frame(self, left, right, color=None, semantic=None):
@@ -185,6 +191,9 @@ class SlamSystem:
             self._try_loops(kf)
 
         self._maybe_optimize()
+
+        if self.map is not None:
+            self._update_map(kf, out)
 
     # ------------------------------------------------------------------
     def _add_edge(self, i, j, T_rel, is_loop, chi2=0.0):
@@ -291,6 +300,45 @@ class SlamSystem:
             # re-anchor the frontend at the optimized last keyframe
             self.state = tracker.adjust(self.state, jnp.asarray(poses[-1]))
             self.trajectory[-1] = poses[-1]
+
+    # ------------------------------------------------------------------
+    def _kf_cloud(self, kf: Keyframe, moving_mask=None):
+        """Generate this keyframe's filtered voxel cloud on device."""
+        from semantic_slam_mapping_tpu.geometry.camera import \
+            disparity_to_depth
+        from semantic_slam_mapping_tpu.mapping import mapper as mp
+        disp = jnp.asarray(kf.disparity, jnp.float32)
+        depth = disparity_to_depth(self.K, disp)
+        color = (jnp.asarray(kf.color, jnp.float32)
+                 if kf.color is not None
+                 else jnp.broadcast_to(
+                     jnp.asarray(kf.left, jnp.float32)[..., None],
+                     kf.left.shape + (3,)))
+        labels = (jnp.asarray(kf.semantic, jnp.int32)
+                  if kf.semantic is not None
+                  else jnp.full(kf.left.shape, 1, jnp.int32))
+        mov = (moving_mask if moving_mask is not None
+               else jnp.zeros(kf.left.shape, bool))
+        return mp.generate_point_cloud(
+            depth, color, labels, mov, jnp.asarray(kf.pose), self.K,
+            self.cfg.camera, self.cfg.mapper,
+            budget=self.cfg.mapper.max_points_per_frame)
+
+    def _update_map(self, kf: Keyframe, out):
+        """The mapper thread's update policy (mapper.cpp:121-149): every
+        Nth update a full rebuild from every 2nd keyframe (poses may have
+        been rewritten by optimization), else insert the new keyframe."""
+        cfg = self.cfg.mapper
+        self._map_updates += 1
+        if self._map_updates % cfg.full_rebuild_every == 0 and \
+                hasattr(self.map, "clear"):
+            self.map.clear()
+            for k in self.keyframes[::cfg.full_rebuild_stride]:
+                self.map.insert_cloud(self._kf_cloud(k))
+        else:
+            self.map.insert_cloud(self._kf_cloud(kf, out.moving_mask))
+        log.info("map: %d voxels after update %d", len(self.map),
+                 self._map_updates)
 
     # ------------------------------------------------------------------
     def finish(self) -> np.ndarray:
