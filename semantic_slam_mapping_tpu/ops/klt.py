@@ -34,23 +34,77 @@ def _patch_offsets(window: int) -> jnp.ndarray:
     return jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)  # (w*w, 2)
 
 
+_MARGIN = 10  # flow range captured by the local window per level (px)
+
+
+def _interp_matrix(offset: jnp.ndarray, win: int, size: int) -> jnp.ndarray:
+    """(win, size) bilinear row-interpolation matrix: row k carries weight
+    (1-a) at floor(offset)+k and a at floor(offset)+k+1. Sampling a patch
+    at a fractional 2D offset then becomes S_y @ W @ S_x^T — two small
+    matmuls on the MXU instead of a scalarized gather (the reason this
+    kernel is fast on TPU)."""
+    i0 = jnp.floor(offset)
+    a = offset - i0
+    rows = jnp.arange(win, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(size, dtype=jnp.float32)[None, :]
+    pos = i0 + rows
+    return (jnp.maximum(0.0, 1.0 - jnp.abs(cols - pos)) * (1.0 - a)
+            + jnp.maximum(0.0, 1.0 - jnp.abs(cols - pos - 1.0)) * a)
+
+
+def _sample_patch(window: jnp.ndarray, offset: jnp.ndarray,
+                  win: int) -> jnp.ndarray:
+    """Bilinear (win, win) patch from a (S, S) local window at fractional
+    ``offset`` (x, y) relative to the window origin."""
+    S = window.shape[-1]
+    Sy = _interp_matrix(offset[1], win, S)
+    Sx = _interp_matrix(offset[0], win, S)
+    return jnp.einsum("ks,st,lt->kl", Sy, window, Sx,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _gather_window(img: jnp.ndarray, corner: jnp.ndarray,
+                   size: int) -> jnp.ndarray:
+    """Integer-aligned (size, size) window at ``corner`` (x0, y0), zero
+    padded out of bounds. One gather per feature per level — the only
+    gather in the tracker."""
+    H, W = img.shape
+    ys = corner[1] + jnp.arange(size)
+    xs = corner[0] + jnp.arange(size)
+    inb = ((ys >= 0) & (ys < H))[:, None] & ((xs >= 0) & (xs < W))[None, :]
+    w = img[jnp.clip(ys, 0, H - 1)[:, None], jnp.clip(xs, 0, W - 1)[None, :]]
+    return jnp.where(inb, w, 0.0)
+
+
 def _track_level(template: jnp.ndarray, target: jnp.ndarray,
                  pt0: jnp.ndarray, guess: jnp.ndarray,
                  cfg: KltConfig) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One pyramid level of LK for a single feature.
+    """One pyramid level of LK for a single feature (vmapped by callers).
 
     pt0: (2,) position in template at this level; guess: (2,) initial
-    displacement. Returns (flow (2,), ok, mean_abs_residual)."""
-    offs = _patch_offsets(cfg.window_size)           # (P, 2)
-    n = offs.shape[0]
+    displacement. Returns (flow (2,), ok, mean_abs_residual).
+
+    Layout: one integer-aligned local window is gathered per image, then
+    every per-iteration fractional patch sample is interpolation matmuls
+    (see _interp_matrix) — no gathers inside the iteration loop."""
+    win = cfg.window_size
+    r = win // 2
+    S = win + 2 * _MARGIN + 2
+    n = win * win
 
     tx, ty = im.gradients(template)
-    base = pt0[None, :] + offs                        # (P, 2)
-    t_patch = im.bilinear_sample(template, base)
-    gx = im.bilinear_sample(tx, base)
-    gy = im.bilinear_sample(ty, base)
+    # template window corner at floor(pt0) - r - 1; the patch top-left
+    # (pt0 - r) sits at fractional offset frac(pt0) + 1 inside it
+    t_corner = (jnp.floor(pt0) - r - 1).astype(jnp.int32)
+    t_o = pt0 - jnp.floor(pt0) + 1.0
 
-    # 2x2 structure tensor (the spatial gradient matrix G)
+    w_t = _gather_window(template, t_corner, win + 2)
+    w_gx = _gather_window(tx, t_corner, win + 2)
+    w_gy = _gather_window(ty, t_corner, win + 2)
+    t_patch = _sample_patch(w_t, t_o, win)
+    gx = _sample_patch(w_gx, t_o, win)
+    gy = _sample_patch(w_gy, t_o, win)
+
     gxx = jnp.sum(gx * gx)
     gxy = jnp.sum(gx * gy)
     gyy = jnp.sum(gy * gy)
@@ -60,25 +114,34 @@ def _track_level(template: jnp.ndarray, target: jnp.ndarray,
     ok_g = min_eig > cfg.min_eig_threshold
     inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
 
+    # target window centered at the initial guess, with +-_MARGIN play
+    tgt_center = pt0 + guess
+    tgt_corner = (jnp.floor(tgt_center) - r - _MARGIN).astype(jnp.int32)
+    w_j = _gather_window(target, tgt_corner, S)
+
     def body(carry, _):
         g, converged = carry
-        cur = base + g[None, :]
-        j_patch = im.bilinear_sample(target, cur)
-        r = j_patch - t_patch
-        bx = jnp.sum(r * gx)
-        by = jnp.sum(r * gy)
-        # delta = -G^-1 b
+        # patch corner offset inside the window for current flow g
+        o = pt0 + g - tgt_corner.astype(jnp.float32) - r
+        j_patch = _sample_patch(w_j, o, win)
+        rr = j_patch - t_patch
+        bx = jnp.sum(rr * gx)
+        by = jnp.sum(rr * gy)
         dx = -(gyy * bx - gxy * by) * inv_det
         dy = -(-gxy * bx + gxx * by) * inv_det
         step = jnp.stack([dx, dy])
-        new_g = jnp.where(converged | ~ok_g, g, g + step)
+        # clamp so the patch stays inside the gathered window
+        new_g = jnp.clip(g + step, guess - _MARGIN + 1, guess + _MARGIN - 1)
+        new_g = jnp.where(converged | ~ok_g, g, new_g)
         new_conv = converged | (jnp.sum(step * step) < cfg.epsilon ** 2)
         return (new_g, new_conv), None
 
     (flow, _), _ = jax.lax.scan(
-        body, (guess, jnp.asarray(False)), None, length=cfg.max_iterations)
+        body, (guess, jnp.asarray(False)), None, length=cfg.max_iterations,
+        unroll=4)
 
-    final = im.bilinear_sample(target, base + flow[None, :])
+    o = pt0 + flow - tgt_corner.astype(jnp.float32) - r
+    final = _sample_patch(w_j, o, win)
     err = jnp.mean(jnp.abs(final - t_patch))
     return flow, ok_g, err
 

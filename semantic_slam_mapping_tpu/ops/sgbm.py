@@ -79,41 +79,42 @@ def _cost_volume(left: jnp.ndarray, right: jnp.ndarray,
     return jnp.moveaxis(vol, 0, -1)
 
 
-def _sgm_scan(cost: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
-    """SGM path aggregation along axis 0 of ``cost`` (S, X, D): scan of the
-    DP recurrence; returns aggregated path costs, same shape."""
-    D = cost.shape[-1]
+def _sgm_scan_bidir(cost: jnp.ndarray, p1: float, p2: float,
+                    unroll: int = 8) -> jnp.ndarray:
+    """Forward + backward SGM path aggregation along axis 0 of ``cost``
+    (S, X, D) in ONE `lax.scan`: the two directions are independent
+    recurrences, so they ride the same scan as a stacked (2, X, D) carry
+    (halves the number of sequential scans; ``unroll`` amortizes per-step
+    overhead, the main cost of long thin scans on TPU). Returns the SUM of
+    the two directional path costs, shape (S, X, D)."""
+    both = jnp.stack([cost, cost[::-1]], axis=1)     # (S, 2, X, D)
     big = jnp.asarray(1e9, cost.dtype)
 
     def step(carry, c):
-        # carry: (X, D) previous path cost
+        # carry: (2, X, D) previous path cost for fwd/bwd
         prev_min = jnp.min(carry, axis=-1, keepdims=True)
-        up = jnp.concatenate([carry[:, :1] + big, carry[:, :-1]], axis=-1)
-        dn = jnp.concatenate([carry[:, 1:], carry[:, -1:] + big], axis=-1)
+        up = jnp.concatenate([carry[..., :1] + big, carry[..., :-1]], axis=-1)
+        dn = jnp.concatenate([carry[..., 1:], carry[..., -1:] + big], axis=-1)
         best = jnp.minimum(
             jnp.minimum(carry, prev_min + p2),
             jnp.minimum(up + p1, dn + p1))
         out = c + best - prev_min
         return out, out
 
-    init = cost[0]
-    _, rest = jax.lax.scan(step, init, cost[1:])
-    return jnp.concatenate([init[None], rest], axis=0)
+    init = both[0]
+    _, rest = jax.lax.scan(step, init, both[1:], unroll=unroll)
+    path = jnp.concatenate([init[None], rest], axis=0)  # (S, 2, X, D)
+    return path[:, 0] + path[::-1, 1]
 
 
 def _aggregate(vol: jnp.ndarray, cfg: SgbmConfig) -> jnp.ndarray:
-    """Sum of directional path costs. vol: (H, W, D)."""
+    """Sum of 4 directional path costs. vol: (H, W, D)."""
     p1, p2 = float(cfg.p1) / 16.0, float(cfg.p2) / 16.0
     # OpenCV P1/P2 are in units of the (scaled) BT cost summed over the
     # window; our cost is window-averaged, so rescale by ~window^2/8.
-    agg = jnp.zeros_like(vol)
-    # top-down and bottom-up: scan over rows, state (W, D)
-    agg += _sgm_scan(vol, p1, p2)
-    agg += _sgm_scan(vol[::-1], p1, p2)[::-1]
-    # left-right and right-left: scan over cols, state (H, D)
-    volT = jnp.swapaxes(vol, 0, 1)  # (W, H, D)
-    agg += jnp.swapaxes(_sgm_scan(volT, p1, p2), 0, 1)
-    agg += jnp.swapaxes(_sgm_scan(volT[::-1], p1, p2)[::-1], 0, 1)
+    agg = _sgm_scan_bidir(vol, p1, p2)                       # up + down
+    volT = jnp.swapaxes(vol, 0, 1)                           # (W, H, D)
+    agg = agg + jnp.swapaxes(_sgm_scan_bidir(volT, p1, p2), 0, 1)
     return agg
 
 
