@@ -61,22 +61,28 @@ def _cost_volume(left: jnp.ndarray, right: jnp.ndarray,
     H, W = left.shape
     D = cfg.num_disparities
 
-    def cost_at(d):
-        # right image shifted right by d: right[x - d]
-        rs = jnp.pad(rp, ((0, 0), (d, 0)))[:, :W]
-        ris = jnp.pad(ri, ((0, 0), (d, 0)))[:, :W]
-        c = jnp.abs(lp - rs) + 0.25 * jnp.abs(li - ris)
-        # out-of-view columns get a neutral (high-ish) cost
-        border = jnp.arange(W) < d
-        return jnp.where(border[None, :], 2.0 * cfg.pre_filter_cap, c)
+    # All D shifted right images via one vmapped dynamic_slice over a
+    # padded buffer — NOT a per-d python loop, which would materialize D
+    # separate border-mask constants (each tile-padded (H,W,1) f32 = 128x
+    # memory blowup; observed as a 35 GB HBM OOM).
+    rp_pad = jnp.pad(rp, ((0, 0), (D, 0)))
+    ri_pad = jnp.pad(ri, ((0, 0), (D, 0)))
+    d0 = cfg.min_disparity
 
-    vol = jnp.stack([cost_at(d) for d in range(cfg.min_disparity,
-                                               cfg.min_disparity + D)],
-                    axis=-1)  # (H, W, D)
-    # window aggregation (the "block" in SGBM)
+    def at_d(d):
+        rs = jax.lax.dynamic_slice(rp_pad, (0, D - d0 - d), (H, W))
+        ris = jax.lax.dynamic_slice(ri_pad, (0, D - d0 - d), (H, W))
+        return jnp.abs(lp - rs) + 0.25 * jnp.abs(li - ris)
+
+    vol = jax.vmap(at_d)(jnp.arange(D))                 # (D, H, W)
+    # out-of-view columns get a neutral high-ish cost (single batched mask)
+    border = (jax.lax.broadcasted_iota(jnp.int32, (D, 1, W), 2)
+              < (jnp.arange(D) + d0)[:, None, None])
+    vol = jnp.where(border, 2.0 * cfg.pre_filter_cap, vol)
+    # window aggregation (the "block" in SGBM), batched over the D axis
     win = cfg.sad_window_size
-    vol = im.box_blur(jnp.moveaxis(vol, -1, 0), win)  # blur over (H, W)
-    return jnp.moveaxis(vol, 0, -1)
+    vol = im.box_blur(vol, win)
+    return jnp.moveaxis(vol, 0, -1)                     # (H, W, D)
 
 
 def _sgm_scan_bidir(cost: jnp.ndarray, p1: float, p2: float,
@@ -154,11 +160,18 @@ def _lr_check(agg: jnp.ndarray, disp_left: jnp.ndarray,
     if |d_L(x) - d_R(x - d_L)| <= disp12MaxDiff (OpenCV semantics)."""
     H, W, D = agg.shape
     xs = jnp.arange(W)
-    # cost of right pixel x at disparity d lives at left pixel x + d
-    idx = jnp.clip(xs[None, :, None] + jnp.arange(D)[None, None, :], 0, W - 1)
-    right_cost = jnp.take_along_axis(
-        agg, jnp.broadcast_to(idx, (H, W, D)), axis=1)
-    d_right = jnp.argmin(right_cost, axis=-1).astype(jnp.float32)
+    # cost of right pixel x at disparity d lives at left pixel x + d: a
+    # per-d diagonal shift, done as D contiguous dynamic slices over a
+    # padded volume instead of a (H, W, D) random gather
+    aggT = jnp.moveaxis(agg, -1, 0)                     # (D, H, W)
+    aggT_pad = jnp.pad(aggT, ((0, 0), (0, 0), (0, D)),
+                       constant_values=jnp.inf)
+
+    def shift_d(a2d, d):
+        return jax.lax.dynamic_slice(a2d, (0, d), (H, W))
+
+    right_cost = jax.vmap(shift_d)(aggT_pad, jnp.arange(D))   # (D, H, W)
+    d_right = jnp.argmin(right_cost, axis=0).astype(jnp.float32)
     # sample d_right at x - d_L
     xl = jnp.clip((xs[None, :] - disp_left).astype(jnp.int32), 0, W - 1)
     d_r_at = jnp.take_along_axis(d_right, xl, axis=1)
