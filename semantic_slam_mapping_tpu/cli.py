@@ -60,7 +60,8 @@ def cmd_slam(args):
                          semantic_dir=args.semantic_dir)
     vocab = None
     if args.vocab:
-        vocab = np.load(args.vocab, allow_pickle=True)["vocab"].item()
+        from semantic_slam_mapping_tpu.backend.looper import load_vocabulary
+        vocab = load_vocabulary(args.vocab)
     system = SlamSystem(cfg, vocab=vocab)
     timer = StageTimer()
     for frame in reader:
@@ -161,6 +162,35 @@ def cmd_synth(args):
     _report_accuracy(traj, None, gt=np.asarray(seq["poses"]))
 
 
+def cmd_make_vocab(args):
+    """Train a BoW vocabulary from a dataset's ORB descriptors (the DBoW2
+    offline vocabulary-training role; produces the looper_vocab_file
+    artifact, parameters.txt:91)."""
+    import jax.numpy as jnp
+
+    from semantic_slam_mapping_tpu.backend import looper as lp
+    from semantic_slam_mapping_tpu.config import default_config
+    from semantic_slam_mapping_tpu.io.kitti import KittiReader
+    from semantic_slam_mapping_tpu.ops import orb as orb_mod
+
+    cfg = _load_cfg(args)
+    reader = KittiReader(args.data)
+    descs = []
+    for i in range(reader.start, reader.end, args.stride):
+        frame = reader.get(i)
+        f = orb_mod.extract(jnp.asarray(frame.left), cfg.orb)
+        descs.append(np.asarray(f.desc[f.valid]))
+        print(f"extracted {i}: {len(descs[-1])} descriptors", file=sys.stderr)
+    train = np.concatenate(descs)
+    vocab = lp.build_vocabulary(train, branching=args.branching,
+                                depth=args.depth)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    lp.save_vocabulary(str(out / "vocab.npz"), vocab)
+    print(f"vocabulary: {vocab.n_leaves} words from {len(train)} "
+          f"descriptors -> {out / 'vocab.npz'}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="semantic_slam_mapping_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -188,6 +218,13 @@ def main(argv=None):
     p = sub.add_parser("synth", parents=[common])
     p.add_argument("--frames", type=int, default=12)
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("make-vocab", parents=[common])
+    p.add_argument("--stride", type=int, default=10,
+                   help="train on every Nth frame")
+    p.add_argument("--branching", type=int, default=10)
+    p.add_argument("--depth", type=int, default=3)
+    p.set_defaults(fn=cmd_make_vocab)
 
     args = ap.parse_args(argv)
     args.fn(args)

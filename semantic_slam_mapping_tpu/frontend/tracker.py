@@ -131,6 +131,77 @@ def track_frame(state: TrackerState,
     return new_state, out
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def track_frames_batched(state: TrackerState,
+                         lefts: jnp.ndarray, rights: jnp.ndarray,
+                         K: Intrinsics, key: jax.Array,
+                         cfg: SlamConfig) -> Tuple[TrackerState, FrameResult]:
+    """Throughput mode: process a window of B consecutive frames in one
+    program. All heavy per-frame stages (SGBM, quad matching, RANSAC VO,
+    U-V-disparity) are independent across frames and run under `vmap` —
+    batching them fills the chip where a single KITTI frame is latency/
+    bandwidth-bound — while the (cheap) pose-integration state machine
+    runs as a `lax.scan` over the VO results.
+
+    lefts/rights: (B+1, H, W) frames; produces results for the B pairs
+    (i-1, i). This is the TPU answer to the reference's three-thread
+    latency hiding (SURVEY.md §2.3 pipeline-staging row): batch-level
+    parallelism inside one device program, deterministic by construction.
+    """
+    B = lefts.shape[0] - 1
+    cur_l, cur_r = lefts[1:], rights[1:]
+    prev_l, prev_r = lefts[:-1], rights[:-1]
+
+    sg = jax.vmap(lambda l, r: sgbm.compute(l, r, cfg.sgbm))(cur_l, cur_r)
+    disparity = jnp.where(sg.valid, sg.disparity, 0.0)
+
+    m = jax.vmap(lambda cl, cr, pl, pr, d: quadmatch.quad_match(
+        cur_left=cl, cur_right=cr, prev_left=pl, prev_right=pr,
+        qcfg=cfg.quadmatch, gcfg=cfg.gftt, kcfg=cfg.klt,
+        cur_disparity=d))(cur_l, cur_r, prev_l, prev_r, disparity)
+
+    keys = jax.random.split(key, B)
+    res = jax.vmap(lambda mm, k: vo.estimate_motion(mm, K, k, cfg.vo))(
+        m, keys)
+
+    pts_roi = jax.vmap(
+        lambda d: gstereo.triangulate_image(K, d, cfg.camera).roi)(disparity)
+    uv_res = jax.vmap(lambda d, v, roi, mm, inl: uvd.detect_moving_objects(
+        d, v, roi, mm.lc, mm.valid & inl, mm.lc, mm.valid & ~inl, K,
+        num_disparities=cfg.sgbm.num_disparities, cfg=cfg.uvdisparity))(
+            disparity, sg.valid, pts_roi, m, res.inliers)
+
+    # ---- sequential state machine over the B results (cheap) ----
+    def step(st: TrackerState, inp):
+        T_delta, success, pitch = inp
+        first = st.status == NOT_READY
+        ok = success
+        pose_ok = se3.compose(st.pose, se3.inverse(T_delta))
+        pose_pred = se3.compose(st.pose, se3.inverse(st.velocity))
+        new_pose = se3.orthonormalize(jnp.where(ok, pose_ok, pose_pred))
+        new_velocity = jnp.where(ok, T_delta, st.velocity)
+        new_lost = jnp.where(ok | first, 0, st.lost_count + 1)
+        new_status = jnp.where(new_lost > cfg.tracker.max_lost_frames,
+                               LOST, OK).astype(jnp.int32)
+        kf = uvd.pitch_kalman_update(st.pitch_kf, pitch[None],
+                                     cfg.uvdisparity)
+        new_st = TrackerState(
+            status=new_status, pose=new_pose, velocity=new_velocity,
+            lost_count=new_lost.astype(jnp.int32), pitch_kf=kf,
+            frame_index=st.frame_index + 1)
+        return new_st, (new_pose, new_status)
+
+    state, (poses, statuses) = jax.lax.scan(
+        step, state, (res.T_delta, res.success, uv_res.pitch))
+
+    out = FrameResult(
+        pose=poses, T_delta=res.T_delta, status=statuses,
+        n_matches=jnp.sum(m.valid, axis=-1), n_inliers=res.n_inliers,
+        moving_mask=uv_res.moving_mask, disparity=disparity,
+        matches=m, vo_success=res.success, pitch=uv_res.pitch)
+    return state, out
+
+
 def adjust(state: TrackerState, new_pose: jnp.ndarray) -> TrackerState:
     """Backend-initiated relocalization: rewrite the frontend pose after a
     pose-graph optimization (Tracker::adjust, track.h:114-131; called from

@@ -118,9 +118,15 @@ def _aggregate(vol: jnp.ndarray, cfg: SgbmConfig) -> jnp.ndarray:
     p1, p2 = float(cfg.p1) / 16.0, float(cfg.p2) / 16.0
     # OpenCV P1/P2 are in units of the (scaled) BT cost summed over the
     # window; our cost is window-averaged, so rescale by ~window^2/8.
-    agg = _sgm_scan_bidir(vol, p1, p2)                       # up + down
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from semantic_slam_mapping_tpu.ops.pallas.sgm_pallas import \
+            sgm_bidir_pallas
+        scan2 = lambda v: sgm_bidir_pallas(v, p1, p2)
+    else:
+        scan2 = lambda v: _sgm_scan_bidir(v, p1, p2)
+    agg = scan2(vol)                                         # up + down
     volT = jnp.swapaxes(vol, 0, 1)                           # (W, H, D)
-    agg = agg + jnp.swapaxes(_sgm_scan_bidir(volT, p1, p2), 0, 1)
+    agg = agg + jnp.swapaxes(scan2(volT), 0, 1)
     return agg
 
 
@@ -192,7 +198,10 @@ def _speckle_filter(disp: jnp.ndarray, valid: jnp.ndarray,
         return nv & (jnp.abs(disp - nd) <= rng)
 
     same = (conn(0, 1), conn(0, -1), conn(1, 1), conn(1, -1))
-    lbl = connected_components(valid, same)
+    # 10 hook+jump rounds converge any component that fits on the image
+    # (reach grows geometrically); fewer rounds = fewer 470k-element
+    # pointer-jump gathers, the dominant cost of this filter
+    lbl = connected_components(valid, same, sweeps=10)
     sizes = jnp.zeros(H * W, jnp.int32).at[lbl.reshape(-1)].add(
         valid.reshape(-1).astype(jnp.int32))
     comp_size = sizes[lbl]

@@ -119,6 +119,40 @@ class SlamSystem:
         return out
 
     # ------------------------------------------------------------------
+    def process_window(self, lefts, rights, colors=None, semantics=None):
+        """Throughput mode: feed B+1 consecutive frames ((B+1, H, W)); the
+        B frame pairs run as one batched device program
+        (tracker.track_frames_batched), then keyframe/backend logic runs
+        per frame on the host. Returns the batched FrameResult."""
+        lefts = jnp.asarray(lefts, jnp.float32)
+        rights = jnp.asarray(rights, jnp.float32)
+        B = lefts.shape[0] - 1
+        self.key, k = jax.random.split(self.key)
+        if self._prev is None:
+            self.trajectory.append(np.eye(4))
+            self.frame_count += 1
+        self.state, out = tracker.track_frames_batched(
+            self.state, lefts, rights, self.K, k, self.cfg)
+        self._prev = (lefts[-1], rights[-1])
+        poses = np.asarray(out.pose)
+        for i in range(B):
+            self.trajectory.append(poses[i])
+            self.frame_count += 1
+            single = tracker.FrameResult(
+                pose=out.pose[i], T_delta=out.T_delta[i],
+                status=out.status[i], n_matches=out.n_matches[i],
+                n_inliers=out.n_inliers[i],
+                moving_mask=out.moving_mask[i], disparity=out.disparity[i],
+                matches=jax.tree_util.tree_map(lambda x: x[i], out.matches),
+                vo_success=out.vo_success[i], pitch=out.pitch[i])
+            if self._keyframe_due(single):
+                self._insert_keyframe(
+                    single, lefts[i + 1], rights[i + 1],
+                    colors[i + 1] if colors is not None else None,
+                    semantics[i + 1] if semantics is not None else None)
+        return out
+
+    # ------------------------------------------------------------------
     def _keyframe_due(self, out) -> bool:
         """Keyframe policy (pose_graph.cpp:29-36): first frame always; then
         translation > keyframe_min_translation or rotation >
