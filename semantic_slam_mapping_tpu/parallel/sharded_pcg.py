@@ -18,7 +18,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from semantic_slam_mapping_tpu.backend import pose_graph as pg
 from semantic_slam_mapping_tpu.config import PoseGraphConfig
