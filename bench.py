@@ -71,10 +71,16 @@ def run_frontend_bench(jax, n_frames: int = N_FRAMES,
     state = tracker.TrackerState.initial()
     key = jax.random.PRNGKey(1)
 
-    def window(state, start, key):
-        sl = slice(start, start + batch + 1)
-        return tracker.track_frames_batched(
-            state, seq["left"][sl], seq["right"][sl], K, key, cfg)
+    if batch == 1:
+        def window(state, start, key):
+            return tracker.track_frame(
+                state, seq["left"][start + 1], seq["right"][start + 1],
+                seq["left"][start], seq["right"][start], K, key, cfg)
+    else:
+        def window(state, start, key):
+            sl = slice(start, start + batch + 1)
+            return tracker.track_frames_batched(
+                state, seq["left"][sl], seq["right"][sl], K, key, cfg)
 
     # compile + warmup
     t_c0 = time.time()
