@@ -92,6 +92,13 @@ class SlamSystem:
                 make_global_map
             self.map = make_global_map(cfg.mapper.resolution)
             self._map_updates = 0
+        # online segmentation (cfg.segnet.online): run SegNet on keyframe
+        # color when no precomputed semantics are supplied — the in-pipeline
+        # alternative to the reference's offline pre-pass (SURVEY.md §3.5)
+        self._segnet = None
+        if cfg.segnet.online:
+            from semantic_slam_mapping_tpu.models import segnet as segnet_mod
+            self._segnet = segnet_mod.create(cfg.segnet)
 
     # ------------------------------------------------------------------
     def process_frame(self, left, right, color=None, semantic=None):
@@ -187,6 +194,9 @@ class SlamSystem:
         feats, xyz, feat_valid = self._extract_features(left, out.disparity)
         bow = (lp.transform(self.vocab, feats.desc, feats.valid)
                if self.vocab is not None else None)
+
+        if semantic is None and self._segnet is not None:
+            semantic = self._run_segnet(left, color)
 
         kf = Keyframe(
             kf_id=kf_id, frame_index=self.frame_count - 1,
@@ -334,6 +344,24 @@ class SlamSystem:
             # re-anchor the frontend at the optimized last keyframe
             self.state = tracker.adjust(self.state, jnp.asarray(poses[-1]))
             self.trajectory[-1] = poses[-1]
+
+    # ------------------------------------------------------------------
+    def _run_segnet(self, left, color):
+        """Online in-pipeline segmentation of one keyframe (the reference's
+        commented-out online path, rgbdframe.cpp:118-136, made real)."""
+        from semantic_slam_mapping_tpu.models import segnet as segnet_mod
+        from semantic_slam_mapping_tpu.ops.image import resize_bilinear
+        model, variables = self._segnet
+        img = (jnp.asarray(color, jnp.float32) if color is not None
+               else jnp.broadcast_to(jnp.asarray(left, jnp.float32)[..., None],
+                                     left.shape + (3,)))
+        H0, W0 = img.shape[:2]
+        h = -(-self.cfg.segnet.input_height // 32) * 32
+        w = -(-self.cfg.segnet.input_width // 32) * 32
+        x = resize_bilinear(img.transpose(2, 0, 1), (h, w)).transpose(1, 2, 0)
+        labels = segnet_mod.infer(model, variables, x[None])[0]
+        full = resize_bilinear(labels.astype(jnp.float32)[None], (H0, W0))[0]
+        return jnp.round(full).astype(jnp.int32)
 
     # ------------------------------------------------------------------
     def _kf_cloud(self, kf: Keyframe, moving_mask=None):
