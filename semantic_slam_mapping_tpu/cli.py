@@ -191,6 +191,70 @@ def cmd_make_vocab(args):
           f"descriptors -> {out / 'vocab.npz'}")
 
 
+def cmd_train_segnet(args):
+    """Train SegNet on synthetic rendered (image, label) pairs — produces
+    weights for the online segmentation mode. (The reference used Caffe
+    weights trained on CamVid; those are not importable here, README.)
+    Use --mesh to train dp x tp sharded across all local devices."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import pickle
+
+    from semantic_slam_mapping_tpu.config import SegNetConfig, default_config
+    from semantic_slam_mapping_tpu.geometry.camera import Intrinsics
+    from semantic_slam_mapping_tpu.io import synthetic
+    from semantic_slam_mapping_tpu.models import segnet
+
+    seg_cfg = SegNetConfig(input_height=args.size, input_width=args.size)
+    model, variables = segnet.create(seg_cfg)
+    params, bs = variables["params"], variables["batch_stats"]
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(segnet.make_train_step(model, opt))
+
+    if args.mesh:
+        from semantic_slam_mapping_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh()
+        params = pmesh.shard_params(params, mesh)
+        opt_state = opt.init(params)
+        print(f"training on mesh {dict(mesh.shape)}", file=sys.stderr)
+
+    cam = default_config().camera
+    h = -(-seg_cfg.input_height // 32) * 32
+    w = -(-seg_cfg.input_width // 32) * 32
+    K = Intrinsics.from_config(
+        cam.__class__(fx=200.0, fy=200.0, cx=w / 2, cy=h / 2))
+
+    @jax.jit
+    def make_batch(key):
+        def one(k):
+            k1, k2 = jax.random.split(k)
+            world = synthetic.make_world(k1, n_boxes=10,
+                                         with_moving_box=True)
+            import semantic_slam_mapping_tpu.geometry.se3 as se3
+            pose = se3.exp(jax.random.normal(k2, (6,))
+                           * jnp.array([0.5, 0.1, 0.5, 0.02, 0.05, 0.01]))
+            img, _, sem, _ = synthetic.render(K, pose, world, h, w)
+            return jnp.stack([img] * 3, -1), sem
+        keys = jax.random.split(key, args.batch)
+        return jax.vmap(one)(keys)
+
+    key = jax.random.PRNGKey(0)
+    for it in range(args.steps):
+        key, k = jax.random.split(key)
+        x, y = make_batch(k)
+        params, bs, opt_state, loss = step(params, bs, opt_state, x, y)
+        if it % 10 == 0 or it == args.steps - 1:
+            print(f"step {it}: loss {float(loss):.4f}", file=sys.stderr)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    with open(out / "segnet.pkl", "wb") as f:
+        pickle.dump({"params": jax.device_get(params),
+                     "batch_stats": jax.device_get(bs)}, f)
+    print(f"saved {out / 'segnet.pkl'}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="semantic_slam_mapping_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -218,6 +282,14 @@ def main(argv=None):
     p = sub.add_parser("synth", parents=[common])
     p.add_argument("--frames", type=int, default=12)
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("train-segnet", parents=[common])
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard training dp x tp over local devices")
+    p.set_defaults(fn=cmd_train_segnet)
 
     p = sub.add_parser("make-vocab", parents=[common])
     p.add_argument("--stride", type=int, default=10,
