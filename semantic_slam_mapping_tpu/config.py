@@ -81,7 +81,7 @@ class SgbmConfig:
     full_dp: bool = True       # 8-direction vs 5-direction aggregation
     # TPU implementation knobs (not in reference)
     num_directions: int = 4    # DP aggregation directions (4 = L,R,U,D)
-    use_pallas: bool = True    # Pallas SGM kernel on TPU (scan elsewhere)
+    use_pallas: bool = False   # opt-in Pallas SGM kernel (axon remote-compile of it is currently pathologically slow; lax.scan path is within ~15% anyway)
     cost_dtype: str = "int32"
 
 
