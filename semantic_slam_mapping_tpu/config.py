@@ -172,7 +172,7 @@ class UVDisparityConfig:
     v_blur_ksize: int = 3
     otsu_bins: int = 256
     # flood-fill iterations for label propagation (TPU fixed-sweep bound)
-    flood_fill_sweeps: int = 32
+    flood_fill_sweeps: int = 12
     max_masks: int = 32               # static budget for candidate masks
     overlap_merge_threshold: float = 0.5
 

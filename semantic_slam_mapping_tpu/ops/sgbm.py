@@ -82,7 +82,9 @@ def _cost_volume(left: jnp.ndarray, right: jnp.ndarray,
     # window aggregation (the "block" in SGBM), batched over the D axis
     win = cfg.sad_window_size
     vol = im.box_blur(vol, win)
-    return jnp.moveaxis(vol, 0, -1)                     # (H, W, D)
+    # bf16 halves the HBM traffic of the dominant array; costs are O(100)
+    # magnitudes so the ~0.4% relative rounding is far below the P1 step
+    return jnp.moveaxis(vol, 0, -1).astype(jnp.bfloat16)  # (H, W, D)
 
 
 def _sgm_scan_bidir(cost: jnp.ndarray, p1: float, p2: float,
@@ -134,14 +136,16 @@ def _wta_subpixel(agg: jnp.ndarray, cfg: SgbmConfig
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Winner-take-all + parabola subpixel + uniqueness gate."""
     D = agg.shape[-1]
+    agg = agg.astype(jnp.float32)
     best = jnp.argmin(agg, axis=-1)                      # (H, W)
     cmin = jnp.min(agg, axis=-1)
 
-    d_idx = jnp.arange(D)
-    # uniqueness: second-best (excluding d-1, d, d+1) must exceed by ratio
-    near = jnp.abs(d_idx[None, None, :] - best[..., None]) <= 1
-    masked = jnp.where(near, jnp.inf, agg)
-    second = jnp.min(masked, axis=-1)
+    # uniqueness: second-best (excluding d-1, d, d+1) must exceed by ratio.
+    # top-4 in one lane pass covers the excluded +-1 neighborhood without
+    # materializing a masked copy of the whole volume
+    top4_neg, top4_idx = jax.lax.top_k(-agg, 4)
+    far = jnp.abs(top4_idx - best[..., None]) > 1
+    second = jnp.min(jnp.where(far, -top4_neg, jnp.inf), axis=-1)
     unique_ok = second * (100 - cfg.uniqueness_ratio) >= cmin * 100
 
     # parabola subpixel around the winner

@@ -30,6 +30,28 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: `jax.distributed.initialize` with TPU-pod
+    auto-detection when no arguments are given (the framework's answer to
+    the reference's single-process assumption — SURVEY.md §2.3). Returns
+    the global device count. Safe to call when already initialized or on a
+    single host (no-op)."""
+    try:
+        if coordinator is not None:
+            jax.distributed.initialize(coordinator, num_processes,
+                                       process_id)
+        elif num_processes is not None or process_id is not None:
+            jax.distributed.initialize(num_processes=num_processes,
+                                       process_id=process_id)
+        else:
+            jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process environment
+    return len(jax.devices())
+
+
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
               tp: Optional[int] = None) -> Mesh:
     """Build a (dp, tp) mesh over the first dp*tp visible devices."""
