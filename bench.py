@@ -112,7 +112,7 @@ def main():
                     help="measure the reference-equivalent CPU frames/s "
                          "and write BASELINE_MEASURED.json")
     ap.add_argument("--frames", type=int, default=N_FRAMES)
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
     jax = _setup_jax(cpu=args.measure_cpu_baseline)
@@ -120,15 +120,14 @@ def main():
     fps, compile_s, n_ok, n = run_frontend_bench(jax, args.frames, args.batch)
 
     if args.measure_cpu_baseline:
-        BASELINE_FILE.write_text(json.dumps({
-            "metric": "frontend_frames_per_s",
-            "cpu_fps": fps,
-            "note": "reference-equivalent CPU anchor: this framework's "
-                    "frontend (SGBM+quadmatch+RANSAC VO+UV-disparity) on "
-                    "host CPU at the KITTI operating point; the reference "
-                    "records no numbers (BASELINE.md)",
-            "frames": n,
-        }, indent=2) + "\n")
+        # record the JAX-on-CPU proxy; NEVER clobber the curated cpu_fps
+        # reference-estimate anchor (see BASELINE_MEASURED.json note)
+        rec = (json.loads(BASELINE_FILE.read_text())
+               if BASELINE_FILE.exists() else
+               {"metric": "frontend_frames_per_s", "cpu_fps": fps})
+        rec["jax_cpu_fps"] = fps
+        rec["frames"] = n
+        BASELINE_FILE.write_text(json.dumps(rec, indent=2) + "\n")
         print(json.dumps({"metric": "frontend_frames_per_s_cpu",
                           "value": round(fps, 3), "unit": "frames/s",
                           "vs_baseline": 1.0}))

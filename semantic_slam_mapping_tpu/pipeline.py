@@ -76,8 +76,22 @@ class SlamSystem:
         self.key = jax.random.PRNGKey(seed)
         self.vocab = vocab
         self.keyframes: List[Keyframe] = []
-        self.graph = pg.PoseGraph.empty(cfg.pose_graph.max_keyframes,
-                                        cfg.pose_graph.max_keyframes * 8)
+        # graph storage lives on the HOST as mutable numpy (keyframe/edge
+        # insertion is fine-grained mutation; device round-trips per edit
+        # would be ~25 ms eager dispatches each on a remote TPU). It is
+        # converted to a device PoseGraph only when optimizing.
+        M = cfg.pose_graph.max_keyframes
+        E = M * 8
+        self.graph = pg.PoseGraph(
+            poses=np.broadcast_to(np.eye(4, dtype=np.float32),
+                                  (M, 4, 4)).copy(),
+            vertex_valid=np.zeros(M, bool),
+            edge_i=np.zeros(E, np.int32), edge_j=np.zeros(E, np.int32),
+            edge_T=np.broadcast_to(np.eye(4, dtype=np.float32),
+                                   (E, 4, 4)).copy(),
+            edge_info=np.zeros(E, np.float32),
+            edge_valid=np.zeros(E, bool),
+            edge_is_loop=np.zeros(E, bool))
         self.n_edges = 0
         self.local_error = 0.0
         self.loop_error = 0.0
@@ -213,10 +227,9 @@ class SlamSystem:
             disparity=np.asarray(out.disparity, np.float16))
         self.keyframes.append(kf)
 
-        # graph vertex
-        self.graph = self.graph._replace(
-            poses=self.graph.poses.at[kf_id].set(jnp.asarray(kf.pose)),
-            vertex_valid=self.graph.vertex_valid.at[kf_id].set(True))
+        # graph vertex (host-side numpy mutation)
+        self.graph.poses[kf_id] = kf.pose
+        self.graph.vertex_valid[kf_id] = True
 
         if kf_id == 0:
             return
@@ -245,14 +258,12 @@ class SlamSystem:
         if e >= self.graph.edge_T.shape[0]:
             log.warning("edge budget exhausted; dropping edge")
             return
-        self.graph = self.graph._replace(
-            edge_i=self.graph.edge_i.at[e].set(i),
-            edge_j=self.graph.edge_j.at[e].set(j),
-            edge_T=self.graph.edge_T.at[e].set(jnp.asarray(T_rel)),
-            edge_info=self.graph.edge_info.at[e].set(
-                self.cfg.pose_graph.information_weight),
-            edge_valid=self.graph.edge_valid.at[e].set(True),
-            edge_is_loop=self.graph.edge_is_loop.at[e].set(is_loop))
+        self.graph.edge_i[e] = i
+        self.graph.edge_j[e] = j
+        self.graph.edge_T[e] = np.asarray(T_rel, np.float32)
+        self.graph.edge_info[e] = self.cfg.pose_graph.information_weight
+        self.graph.edge_valid[e] = True
+        self.graph.edge_is_loop[e] = is_loop
         self.n_edges += 1
         if is_loop:
             self.loop_error += chi2
@@ -321,24 +332,32 @@ class SlamSystem:
         cfg = self.cfg.pose_graph
         n = len(self.keyframes)
         did = False
+        def to_device():
+            return jax.tree_util.tree_map(jnp.asarray, self.graph)
+
         if force_global or self.loop_error > cfg.loop_accumulate_error:
-            self.graph = pg.optimize(self.graph, pg.global_free_mask(self.graph),
-                                     cfg, iters=cfg.global_iters)
+            g = to_device()
+            g = pg.optimize(g, pg.global_free_mask(g), cfg,
+                            iters=cfg.global_iters)
+            self.graph = self.graph._replace(
+                poses=np.asarray(g.poses, np.float32))
             self.loop_error = 0.0
             self.local_error = 0.0
             did = True
             log.info("global optimization over %d keyframes", n)
         elif self.local_error > cfg.local_accumulate_error:
-            mask = pg.local_free_mask(self.graph, jnp.int32(n),
-                                      cfg.local_window)
-            self.graph = pg.optimize(self.graph, mask, cfg, iters=5)
+            g = to_device()
+            mask = pg.local_free_mask(g, jnp.int32(n), cfg.local_window)
+            g = pg.optimize(g, mask, cfg, iters=5)
+            self.graph = self.graph._replace(
+                poses=np.asarray(g.poses, np.float32))
             self.local_error = 0.0
             did = True
             log.info("local optimization (last %d of %d keyframes)",
                      cfg.local_window, n)
         if did:
             self.n_optimizations += 1
-            poses = np.asarray(self.graph.poses[:n])
+            poses = self.graph.poses[:n]
             for i, kfr in enumerate(self.keyframes):
                 kfr.pose = poses[i]
             # re-anchor the frontend at the optimized last keyframe

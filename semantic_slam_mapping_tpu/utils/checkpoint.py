@@ -77,15 +77,16 @@ def load_slam(path: str | Path, cfg, vocab=None):
     system.local_error = float(z["local_error"])
     system.loop_error = float(z["loop_error"])
     system.trajectory = list(z["trajectory"])
+    # pipeline keeps the graph as mutable host numpy (see SlamSystem)
     system.graph = pg.PoseGraph(
-        poses=jnp.asarray(z["graph_poses"]),
-        vertex_valid=jnp.asarray(z["graph_vertex_valid"]),
-        edge_i=jnp.asarray(z["graph_edge_i"]),
-        edge_j=jnp.asarray(z["graph_edge_j"]),
-        edge_T=jnp.asarray(z["graph_edge_T"]),
-        edge_info=jnp.asarray(z["graph_edge_info"]),
-        edge_valid=jnp.asarray(z["graph_edge_valid"]),
-        edge_is_loop=jnp.asarray(z["graph_edge_is_loop"]))
+        poses=np.array(z["graph_poses"], np.float32),
+        vertex_valid=np.array(z["graph_vertex_valid"]),
+        edge_i=np.array(z["graph_edge_i"], np.int32),
+        edge_j=np.array(z["graph_edge_j"], np.int32),
+        edge_T=np.array(z["graph_edge_T"], np.float32),
+        edge_info=np.array(z["graph_edge_info"], np.float32),
+        edge_valid=np.array(z["graph_edge_valid"]),
+        edge_is_loop=np.array(z["graph_edge_is_loop"]))
     system.state = trk.TrackerState(
         status=jnp.asarray(z["tracker_status"]),
         pose=jnp.asarray(z["tracker_pose"]),
