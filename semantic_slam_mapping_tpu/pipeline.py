@@ -238,10 +238,13 @@ class SlamSystem:
         T_rel = np.linalg.inv(prev.pose) @ kf.pose
         self._add_edge(kf_id - 1, kf_id, T_rel, is_loop=False)
 
-        # nearby-keyframe edges (pose_graph.cpp:108-179)
+        # nearby-keyframe edges (pose_graph.cpp:108-179), batched: all
+        # candidate refs run their PnP gates + viso re-measures as ONE
+        # vmapped device program instead of 5 sequential rounds
         lo = max(0, kf_id - 1 - cfg.pose_graph.nearby_keyframes)
-        for ref in self.keyframes[lo:kf_id - 1]:
-            self._try_edge(ref, kf, is_loop=False)
+        refs = self.keyframes[lo:kf_id - 1]
+        if refs:
+            self._try_edges_batched(refs, kf, is_loop=False)
 
         # loop closure (pose_graph.cpp:181-234)
         if self.vocab is not None:
@@ -270,6 +273,68 @@ class SlamSystem:
             self.n_loop_edges += 1
         else:
             self.local_error += chi2
+
+    # ------------------------------------------------------------------
+    def _try_edges_batched(self, refs, kf: Keyframe, is_loop: bool) -> int:
+        """Batched two-stage edge construction against multiple reference
+        keyframes: one vmapped PnP-gate pass + one vmapped quadmatch/VO
+        re-measure pass, padded to the nearby_keyframes budget so the
+        program compiles once. Returns the number of edges added."""
+        nb = self.cfg.pose_graph.nearby_keyframes
+        refs = refs[:nb]
+        n = len(refs)
+        pad = nb - n
+        pick = refs + [refs[0]] * pad
+        ref_valid = np.arange(nb) < n
+
+        stack = lambda f: jnp.asarray(np.stack([f(r) for r in pick]))
+        desc_r = stack(lambda r: r.feat_desc)
+        xyz_r = stack(lambda r: r.feat_xyz)
+        val_r = stack(lambda r: r.feat_valid)
+        left_r = stack(lambda r: np.asarray(r.left, np.float32))
+        right_r = stack(lambda r: np.asarray(r.right, np.float32))
+        T_init = jnp.asarray(np.stack(
+            [np.linalg.inv(np.linalg.inv(r.pose) @ kf.pose).astype(np.float32)
+             for r in pick]))
+
+        kf_desc = jnp.asarray(kf.feat_desc)
+        kf_xy = jnp.asarray(kf.feat_xy)
+        kf_val = jnp.asarray(kf.feat_valid)
+        kf_left = jnp.asarray(kf.left, jnp.float32)
+        kf_right = jnp.asarray(kf.right, jnp.float32)
+
+        infos = jax.vmap(
+            lambda d, x, v, Ti: pnp_mod.solve_pnp_lazy(
+                d, x, v, kf_desc, kf_xy, kf_val, self.K, Ti,
+                self.cfg.pnp, self.cfg.orb.knn_match_ratio))(
+            desc_r, xyz_r, val_r, T_init)
+
+        m = jax.vmap(lambda pl_, pr_: quadmatch.quad_match(
+            cur_left=kf_left, cur_right=kf_right,
+            prev_left=pl_, prev_right=pr_,
+            qcfg=self.cfg.quadmatch, gcfg=self.cfg.gftt,
+            kcfg=self.cfg.klt))(left_r, right_r)
+        self.key, k = jax.random.split(self.key)
+        keys = jax.random.split(k, nb)
+        res = jax.vmap(lambda mm, kk: vo.estimate_motion(
+            mm, self.K, kk, self.cfg.vo))(m, keys)
+
+        ok = (np.asarray(infos.success) & np.asarray(res.success)
+              & ref_valid)
+        T_rels = np.asarray(jax.vmap(se3.inverse)(res.T_delta))
+        added = 0
+        for i in range(n):
+            if not ok[i]:
+                continue
+            ref = refs[i]
+            T_rel = T_rels[i]
+            T_odo = np.linalg.inv(ref.pose) @ kf.pose
+            r = np.asarray(se3.log(jnp.asarray(
+                (np.linalg.inv(T_rel) @ T_odo).astype(np.float32))))
+            chi2 = float(self.cfg.pose_graph.information_weight * (r @ r))
+            self._add_edge(ref.kf_id, kf.kf_id, T_rel, is_loop, chi2)
+            added += 1
+        return added
 
     # ------------------------------------------------------------------
     def _try_edge(self, ref: Keyframe, kf: Keyframe, is_loop: bool) -> bool:
@@ -320,10 +385,13 @@ class SlamSystem:
             jnp.asarray(kf.bow), jnp.asarray(db), jnp.asarray(ids),
             jnp.ones(len(ids), bool), jnp.int32(kf.frame_index),
             cfg.min_sim_score, cfg.min_interval)
-        for idx in np.nonzero(np.asarray(mask))[0]:
-            if self._try_edge(self.keyframes[int(idx)], kf, is_loop=True):
-                log.info("loop edge %d -> %d (score %.3f)",
-                         int(idx), kf.kf_id, float(scores[idx]))
+        cand = [self.keyframes[int(i)] for i in np.nonzero(np.asarray(mask))[0]]
+        nb = self.cfg.pose_graph.nearby_keyframes
+        for c0 in range(0, len(cand), nb):
+            added = self._try_edges_batched(cand[c0:c0 + nb], kf,
+                                            is_loop=True)
+            if added:
+                log.info("%d loop edge(s) -> kf %d", added, kf.kf_id)
 
     # ------------------------------------------------------------------
     def _maybe_optimize(self, force_global: bool = False):
