@@ -79,12 +79,198 @@ def cmd_slam(args):
     system.save_g2o(str(out_dir / "traj.g2o"))
     print(timer.report(), file=sys.stderr)
     _report_accuracy(traj, args.gt)
+    if args.plot:
+        from semantic_slam_mapping_tpu.io.gt_pose import read_kitti_poses
+        from semantic_slam_mapping_tpu.utils.plot import plot_trajectories
+        gt = read_kitti_poses(args.gt)[:len(traj)] if args.gt else None
+        plot_trajectories(out_dir / "trajectory.png", traj, gt)
 
 
 def cmd_tracker(args):
     """Frontend-only run (run_tracker.cpp role)."""
     args.vocab = None
     cmd_slam(args)
+
+
+def _tum_accuracy(est, timestamps, gt_file):
+    """ATE/RPE against a TUM groundtruth.txt, associating by timestamp."""
+    from semantic_slam_mapping_tpu.io.gt_pose import read_tum_trajectory
+    gt_ts, gt_poses = read_tum_trajectory(gt_file)
+    idx = np.searchsorted(gt_ts, np.asarray(timestamps))
+    idx = np.clip(idx, 0, len(gt_ts) - 1)
+    _report_accuracy(est, None, gt=gt_poses[idx])
+    return gt_poses[idx]
+
+
+def cmd_rgbd(args):
+    """TUM RGB-D tracking: ORB matching + PnP motion-only BA per frame
+    (the reference's TUM path — FrameReader TUM rgbdframe.cpp:199-227 with
+    the trackRefFrame/test_pnp-style ORB+PnP frontend)."""
+    import jax.numpy as jnp
+
+    from semantic_slam_mapping_tpu.config import CameraConfig
+    from semantic_slam_mapping_tpu.frontend.rgbd_tracker import (
+        RgbdTrackerState, track_frame_rgbd)
+    from semantic_slam_mapping_tpu.geometry.camera import Intrinsics
+    from semantic_slam_mapping_tpu.io.gt_pose import write_kitti_poses
+    from semantic_slam_mapping_tpu.io.tum import TumReader
+    from semantic_slam_mapping_tpu.utils.timing import StageTimer
+
+    cfg = _load_cfg(args)
+    # TUM fr1 intrinsics by default (the reference's TUM parameters block)
+    cfg = cfg.replace(camera=CameraConfig(
+        fx=args.fx, fy=args.fy, cx=args.cx, cy=args.cy,
+        baseline=cfg.camera.baseline, scale=args.depth_scale))
+    K = Intrinsics.from_config(cfg.camera)
+    reader = TumReader(args.data, depth_scale=args.depth_scale,
+                       end_index=args.frames or None)
+    state = RgbdTrackerState.initial(cfg.orb.n_features)
+    traj, ts = [], []
+    timer = StageTimer()
+    for frame in reader:
+        with timer.stage("frame"):
+            state, out = track_frame_rgbd(
+                state, jnp.asarray(frame.left), jnp.asarray(frame.depth),
+                K, cfg)
+        traj.append(np.asarray(out.pose))
+        ts.append(reader.timestamps[frame.index])
+        if args.verbose:
+            print(f"frame {frame.index}: matches={int(out.n_matches)} "
+                  f"inliers={int(out.n_inliers)}", file=sys.stderr)
+    traj = np.stack(traj)
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    write_kitti_poses(out_dir / "trajectory.txt", traj)
+    print(timer.report(), file=sys.stderr)
+    gt = _tum_accuracy(traj, ts, args.gt) if args.gt else None
+    if args.plot:
+        from semantic_slam_mapping_tpu.utils.plot import plot_trajectories
+        plot_trajectories(out_dir / "trajectory.png", traj, gt)
+
+
+def cmd_pnp(args):
+    """Frame-to-frame PnP odometry on KITTI stereo (the test_pnp.cpp role:
+    depth from SGBM, ORB matching to the previous frame, PnP pose, GT
+    overlay — experiment/test_pnp.cpp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_slam_mapping_tpu.frontend.rgbd_tracker import (
+        RgbdTrackerState, track_frame_rgbd)
+    from semantic_slam_mapping_tpu.geometry.camera import Intrinsics
+    from semantic_slam_mapping_tpu.io.gt_pose import write_kitti_poses
+    from semantic_slam_mapping_tpu.io.kitti import KittiReader
+    from semantic_slam_mapping_tpu.ops import sgbm
+    from semantic_slam_mapping_tpu.utils.timing import StageTimer
+
+    cfg = _load_cfg(args)
+    K = Intrinsics.from_config(cfg.camera)
+    reader = KittiReader(args.data or cfg.dataset.data_source,
+                         start_index=cfg.dataset.start_index,
+                         end_index=cfg.dataset.end_index)
+
+    @jax.jit
+    def step(state, left, right):
+        res = sgbm.compute(left, right, cfg.sgbm)
+        depth = jnp.where(
+            res.valid, cfg.camera.fx * cfg.camera.baseline
+            / jnp.maximum(res.disparity, 1e-3), 0.0)
+        return track_frame_rgbd(state, left, depth, K, cfg)
+
+    state = RgbdTrackerState.initial(cfg.orb.n_features)
+    traj = []
+    timer = StageTimer()
+    for frame in reader:
+        with timer.stage("frame"):
+            state, out = step(state, jnp.asarray(frame.left),
+                              jnp.asarray(frame.right))
+        traj.append(np.asarray(out.pose))
+        if args.verbose:
+            print(f"frame {frame.index}: matches={int(out.n_matches)} "
+                  f"inliers={int(out.n_inliers)}", file=sys.stderr)
+    traj = np.stack(traj)
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    write_kitti_poses(out_dir / "trajectory.txt", traj)
+    print(timer.report(), file=sys.stderr)
+    _report_accuracy(traj, args.gt)
+    if args.plot:
+        from semantic_slam_mapping_tpu.io.gt_pose import read_kitti_poses
+        from semantic_slam_mapping_tpu.utils.plot import plot_trajectories
+        gt = read_kitti_poses(args.gt)[:len(traj)] if args.gt else None
+        plot_trajectories(out_dir / "trajectory.png", traj, gt)
+
+
+def cmd_read_frames(args):
+    """Dataset I/O sanity probe (the reading_frame.cpp role: iterate the
+    reader, report shapes/ranges, optionally dump the first frames as
+    PNGs instead of cv::imshow windows)."""
+    if args.dataset == "tum":
+        from semantic_slam_mapping_tpu.io.tum import TumReader
+        reader = TumReader(args.data)
+    else:
+        from semantic_slam_mapping_tpu.io.kitti import KittiReader
+        reader = KittiReader(args.data, semantic_dir=args.semantic_dir)
+    n = 0
+    for frame in reader:
+        parts = [f"frame {frame.index}: left {frame.left.shape}"]
+        if frame.color is not None:
+            parts.append(f"color {frame.color.shape}")
+        if frame.depth is not None:
+            d = frame.depth[frame.depth > 0]
+            parts.append(f"depth [{d.min():.2f}, {d.max():.2f}]m"
+                         if d.size else "depth empty")
+        if frame.semantic is not None:
+            parts.append(f"semantic classes {np.unique(frame.semantic)[:8]}")
+        print("  ".join(parts))
+        if args.dump and n < args.dump:
+            from PIL import Image
+            out_dir = Path(args.out)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            Image.fromarray((np.asarray(frame.left) * 255).astype(np.uint8),
+                            "L").save(out_dir / f"{frame.index:06d}_left.png")
+            if frame.depth is not None:
+                dv = np.asarray(frame.depth)
+                dn = (255 * dv / max(float(dv.max()), 1e-6)).astype(np.uint8)
+                Image.fromarray(dn, "L").save(
+                    out_dir / f"{frame.index:06d}_depth.png")
+        n += 1
+        if args.frames and n >= args.frames:
+            break
+    print(f"{n} frames OK", file=sys.stderr)
+
+
+def cmd_match_orb(args):
+    """Consecutive-frame ORB matching probe: extract + knn ratio-test match,
+    print counts and timing (the match_orbfeature_tum.cpp role)."""
+    import jax.numpy as jnp
+
+    from semantic_slam_mapping_tpu.ops import matching
+    from semantic_slam_mapping_tpu.ops import orb as orb_mod
+
+    cfg = _load_cfg(args)
+    if args.dataset == "tum":
+        from semantic_slam_mapping_tpu.io.tum import TumReader
+        reader = TumReader(args.data, end_index=args.frames or None)
+    else:
+        from semantic_slam_mapping_tpu.io.kitti import KittiReader
+        reader = KittiReader(args.data, end_index=args.frames or None)
+    prev = None
+    for frame in reader:
+        t0 = time.time()
+        feats = orb_mod.extract(jnp.asarray(frame.left), cfg.orb)
+        n_kp = int(feats.valid.sum())
+        if prev is not None:
+            m = matching.match_descriptors(
+                prev.desc, feats.desc, valid_a=prev.valid,
+                valid_b=feats.valid, ratio=cfg.orb.knn_match_ratio)
+            n_match = int(m.valid.sum())
+            dt = (time.time() - t0) * 1e3
+            print(f"frame {frame.index}: {n_kp} keypoints, "
+                  f"{n_match} matches, {dt:.1f} ms")
+        else:
+            print(f"frame {frame.index}: {n_kp} keypoints")
+        prev = feats
 
 
 def cmd_segnet(args):
@@ -265,6 +451,9 @@ def main(argv=None):
     common.add_argument("--gt", help="KITTI GT pose file")
     common.add_argument("--out", default="out")
     common.add_argument("--verbose", action="store_true")
+    common.add_argument("--plot", action="store_true",
+                        help="write a top-down trajectory PNG "
+                             "(run_tracker.cpp:50-63 canvas role)")
 
     p = sub.add_parser("slam", parents=[common])
     p.add_argument("--vocab")
@@ -290,6 +479,37 @@ def main(argv=None):
     p.add_argument("--mesh", action="store_true",
                    help="shard training dp x tp over local devices")
     p.set_defaults(fn=cmd_train_segnet)
+
+    p = sub.add_parser("rgbd", parents=[common],
+                       help="TUM RGB-D ORB+PnP tracking")
+    p.add_argument("--fx", type=float, default=517.3)
+    p.add_argument("--fy", type=float, default=516.5)
+    p.add_argument("--cx", type=float, default=318.6)
+    p.add_argument("--cy", type=float, default=255.3)
+    p.add_argument("--depth-scale", type=float, default=5000.0)
+    p.add_argument("--frames", type=int, default=0)
+    p.set_defaults(fn=cmd_rgbd)
+
+    p = sub.add_parser("pnp", parents=[common],
+                       help="KITTI frame-to-frame PnP odometry "
+                            "(test_pnp role)")
+    p.set_defaults(fn=cmd_pnp)
+
+    p = sub.add_parser("read-frames", parents=[common],
+                       help="dataset I/O sanity probe (reading_frame role)")
+    p.add_argument("--dataset", choices=("kitti", "tum"), default="kitti")
+    p.add_argument("--semantic-dir")
+    p.add_argument("--frames", type=int, default=0)
+    p.add_argument("--dump", type=int, default=0,
+                   help="dump the first N frames as PNGs")
+    p.set_defaults(fn=cmd_read_frames)
+
+    p = sub.add_parser("match-orb", parents=[common],
+                       help="consecutive-frame ORB match probe "
+                            "(match_orbfeature_tum role)")
+    p.add_argument("--dataset", choices=("kitti", "tum"), default="tum")
+    p.add_argument("--frames", type=int, default=0)
+    p.set_defaults(fn=cmd_match_orb)
 
     p = sub.add_parser("make-vocab", parents=[common])
     p.add_argument("--stride", type=int, default=10,
