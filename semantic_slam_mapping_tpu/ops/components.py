@@ -41,16 +41,21 @@ def connected_components(valid: jnp.ndarray,
     lf_ok = lf_ok & (col > 0) & valid
     rt_ok = rt_ok & (col < W - 1) & valid
 
-    def body(lbl, _):
+    def hook(lbl):
         nb = jnp.minimum(
             jnp.minimum(jnp.where(up_ok, jnp.roll(lbl, 1, 0), N),
                         jnp.where(dn_ok, jnp.roll(lbl, -1, 0), N)),
             jnp.minimum(jnp.where(lf_ok, jnp.roll(lbl, 1, 1), N),
                         jnp.where(rt_ok, jnp.roll(lbl, -1, 1), N)))
-        lbl = jnp.minimum(lbl, nb)
+        return jnp.minimum(lbl, nb)
+
+    def body(lbl, _):
+        # two roll-based hooks (cheap vector ops) per one pointer jump
+        # (a 470k-element random gather — the expensive part on TPU):
+        # reach still grows geometrically, at half the gather count
+        lbl = hook(hook(lbl))
         flat = lbl.reshape(-1)
-        flat = flat[flat]          # pointer jump x2: path compression
-        flat = flat[flat]
+        flat = flat[flat]          # pointer jump: path compression
         return flat.reshape(H, W), None
 
     lbl, _ = jax.lax.scan(body, idx, None, length=sweeps)

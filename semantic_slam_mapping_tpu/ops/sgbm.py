@@ -136,22 +136,25 @@ def _wta_subpixel(agg: jnp.ndarray, cfg: SgbmConfig
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Winner-take-all + parabola subpixel + uniqueness gate."""
     D = agg.shape[-1]
-    agg = agg.astype(jnp.float32)
     best = jnp.argmin(agg, axis=-1)                      # (H, W)
-    cmin = jnp.min(agg, axis=-1)
+    cmin = jnp.min(agg, axis=-1).astype(jnp.float32)
 
     # uniqueness: second-best (excluding d-1, d, d+1) must exceed by ratio.
-    # top-4 in one lane pass covers the excluded +-1 neighborhood without
-    # materializing a masked copy of the whole volume
-    top4_neg, top4_idx = jax.lax.top_k(-agg, 4)
-    far = jnp.abs(top4_idx - best[..., None]) > 1
-    second = jnp.min(jnp.where(far, -top4_neg, jnp.inf), axis=-1)
+    # masked lane-min in the volume's native dtype — elementwise select +
+    # reduce fuses into one pass; beats a top-k (sort-based on TPU)
+    ds = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 2)
+    far = jnp.abs(ds - best[..., None]) > 1
+    big = jnp.asarray(jnp.finfo(agg.dtype).max, agg.dtype)
+    second = jnp.min(jnp.where(far, agg, big), axis=-1).astype(jnp.float32)
     unique_ok = second * (100 - cfg.uniqueness_ratio) >= cmin * 100
 
-    # parabola subpixel around the winner
+    # parabola subpixel around the winner. Gather the two neighbours in the
+    # volume's native dtype (casting the whole volume to f32 first adds no
+    # information — the scans emitted bf16 — but costs a full HBM pass)
     bm1 = jnp.clip(best - 1, 0, D - 1)
     bp1 = jnp.clip(best + 1, 0, D - 1)
-    take = lambda i: jnp.take_along_axis(agg, i[..., None], axis=-1)[..., 0]
+    take = lambda i: jnp.take_along_axis(
+        agg, i[..., None], axis=-1)[..., 0].astype(jnp.float32)
     c0, cl, cr = cmin, take(bm1), take(bp1)
     denom = cl + cr - 2.0 * c0
     delta = jnp.where(jnp.abs(denom) > 1e-9,
