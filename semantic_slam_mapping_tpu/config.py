@@ -81,6 +81,12 @@ class SgbmConfig:
     full_dp: bool = True       # 8-direction vs 5-direction aggregation
     # TPU implementation knobs (not in reference)
     num_directions: int = 4    # DP aggregation directions (4 = L,R,U,D)
+    # Block-parallel SGM scans: restart each directional scan `scan_halo`
+    # steps before a `scan_block`-wide tile (GPU-SGM-style overlap; path
+    # influence decays, so the carry converges within the halo). 0 = exact
+    # full-length sequential scan.
+    scan_block: int = 128
+    scan_halo: int = 32
     use_pallas: bool = False   # opt-in Pallas SGM kernel (axon remote-compile of it is currently pathologically slow; lax.scan path is within ~15% anyway)
     cost_dtype: str = "int32"
 
@@ -172,7 +178,7 @@ class UVDisparityConfig:
     v_blur_ksize: int = 3
     otsu_bins: int = 256
     # flood-fill iterations for label propagation (TPU fixed-sweep bound)
-    flood_fill_sweeps: int = 12
+    flood_fill_sweeps: int = 4   # run-min hooks: 3 converges, 4 adds margin
     max_masks: int = 32               # static budget for candidate masks
     overlap_merge_threshold: float = 0.5
 
