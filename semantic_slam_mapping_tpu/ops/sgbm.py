@@ -54,10 +54,13 @@ def _prefilter(img: jnp.ndarray, cap: float) -> jnp.ndarray:
 def _cost_volume(left: jnp.ndarray, right: jnp.ndarray,
                  cfg: SgbmConfig) -> jnp.ndarray:
     """(H, W, D) matching cost, box-aggregated over the SAD window."""
-    lp = _prefilter(left, cfg.pre_filter_cap)
-    rp = _prefilter(right, cfg.pre_filter_cap)
-    li = left * 255.0
-    ri = right * 255.0
+    # bf16 end-to-end: raw costs are O(100) with a P1 quantum of ~60, so
+    # bf16's ~0.4% relative rounding is noise; halves the HBM traffic of
+    # every volume pass from here on (cost build AND box aggregation).
+    lp = _prefilter(left, cfg.pre_filter_cap).astype(jnp.bfloat16)
+    rp = _prefilter(right, cfg.pre_filter_cap).astype(jnp.bfloat16)
+    li = (left * 255.0).astype(jnp.bfloat16)
+    ri = (right * 255.0).astype(jnp.bfloat16)
     H, W = left.shape
     D = cfg.num_disparities
 
@@ -164,8 +167,42 @@ def _sgm_scan_bidir_blocked(cost: jnp.ndarray, p1: float, p2: float,
     return out[:S]
 
 
+def _sgm_segments(cost: jnp.ndarray, block: int, halo: int
+                  ) -> Tuple[jnp.ndarray, int]:
+    """Cut (S, X, D) into overlapped blocks for both scan directions and
+    flatten to scan-ready (L, nb*2*X, D); returns (segments, nb)."""
+    S, X, D = cost.shape
+    nb = -(-S // block)
+    L = block + 2 * halo
+    cpad = jnp.pad(cost, ((halo, nb * block - S + halo), (0, 0), (0, 0)))
+    seg = jax.vmap(lambda s: jax.lax.dynamic_slice(
+        cpad, (s, 0, 0), (L, X, D)))(jnp.arange(nb) * block)  # (nb, L, X, D)
+    both = jnp.stack([seg, seg[:, ::-1]], axis=1)            # (nb, 2, L, X, D)
+    both = jnp.moveaxis(both, 2, 0)                          # (L, nb, 2, X, D)
+    return both.reshape(L, nb * 2 * X, D), nb
+
+
+def _sgm_unsegment(path: jnp.ndarray, nb: int, S: int, X: int,
+                   block: int, halo: int) -> jnp.ndarray:
+    """Inverse of `_sgm_segments` on the scanned path costs: drop halos,
+    sum the two directions, reassemble (S, X, D)."""
+    L, _, D = path.shape
+    p = path.reshape(L, nb, 2, X, D)
+    fwd = p[halo:halo + block, :, 0]                         # (block, nb, X, D)
+    bwd = p[::-1, :, 1][halo:halo + block]
+    out = jnp.moveaxis(fwd + bwd, 1, 0).reshape(nb * block, X, D)
+    return out[:S]
+
+
 def _aggregate(vol: jnp.ndarray, cfg: SgbmConfig) -> jnp.ndarray:
-    """Sum of 4 directional path costs. vol: (H, W, D)."""
+    """Sum of 4 directional path costs. vol: (H, W, D).
+
+    On the blocked path, ALL FOUR directions ride ONE `lax.scan`: the
+    vertical and horizontal block-segments (each already carrying fwd+bwd
+    stacked) are flattened on the cross axis and concatenated, so the whole
+    aggregation is a single block+2*halo-step recurrence. The scans are
+    latency-bound (tiny per-step work, long sequential chains), so halving
+    the number of sequential steps ~halves aggregation time."""
     p1, p2 = float(cfg.p1) / 16.0, float(cfg.p2) / 16.0
     # OpenCV P1/P2 are in units of the (scaled) BT cost summed over the
     # window; our cost is window-averaged, so rescale by ~window^2/8.
@@ -173,11 +210,47 @@ def _aggregate(vol: jnp.ndarray, cfg: SgbmConfig) -> jnp.ndarray:
         from semantic_slam_mapping_tpu.ops.pallas.sgm_pallas import \
             sgm_bidir_pallas
         scan2 = lambda v: sgm_bidir_pallas(v, p1, p2)
-    elif cfg.scan_block > 0:
-        scan2 = lambda v: _sgm_scan_bidir_blocked(
-            v, p1, p2, cfg.scan_block, cfg.scan_halo)
     else:
-        scan2 = lambda v: _sgm_scan_bidir(v, p1, p2)
+        H, W, D = vol.shape
+        block, halo = cfg.scan_block, cfg.scan_halo
+        volT = jnp.swapaxes(vol, 0, 1)                       # (W, H, D)
+        if (block > 0 and H > block + 2 * halo
+                and W > block + 2 * halo):
+            r1, nb1 = _sgm_segments(vol, block, halo)
+            r2, nb2 = _sgm_segments(volT, block, halo)
+            big = jnp.asarray(1e9, vol.dtype)
+
+            def one(carry, c):
+                prev_min = jnp.min(carry, axis=-1, keepdims=True)
+                up = jnp.concatenate(
+                    [carry[..., :1] + big, carry[..., :-1]], axis=-1)
+                dn = jnp.concatenate(
+                    [carry[..., 1:], carry[..., -1:] + big], axis=-1)
+                best = jnp.minimum(
+                    jnp.minimum(carry, prev_min + p2),
+                    jnp.minimum(up + p1, dn + p1))
+                return c + best - prev_min
+
+            # one scan, tuple carry: the two axes' recurrences advance in
+            # lockstep without any cross-copy/concat relayout
+            def step(carry, cs):
+                o1 = one(carry[0], cs[0])
+                o2 = one(carry[1], cs[1])
+                return (o1, o2), (o1, o2)
+
+            init = (r1[0], r2[0])
+            _, (rest1, rest2) = jax.lax.scan(
+                step, init, (r1[1:], r2[1:]), unroll=8)
+            path1 = jnp.concatenate([init[0][None], rest1], axis=0)
+            path2 = jnp.concatenate([init[1][None], rest2], axis=0)
+            a1 = _sgm_unsegment(path1, nb1, H, W, block, halo)
+            a2 = _sgm_unsegment(path2, nb2, W, H, block, halo)
+            return a1 + jnp.swapaxes(a2, 0, 1)
+        if cfg.scan_block > 0:
+            scan2 = lambda v: _sgm_scan_bidir_blocked(
+                v, p1, p2, cfg.scan_block, cfg.scan_halo)
+        else:
+            scan2 = lambda v: _sgm_scan_bidir(v, p1, p2)
     agg = scan2(vol)                                         # up + down
     volT = jnp.swapaxes(vol, 0, 1)                           # (W, H, D)
     agg = agg + jnp.swapaxes(scan2(volT), 0, 1)
@@ -258,9 +331,9 @@ def _speckle_filter(disp: jnp.ndarray, valid: jnp.ndarray,
 
     same = (conn(0, 1), conn(0, -1), conn(1, 1), conn(1, -1))
     # run-min hooks converge realistic speckle fields in 3 sweeps (each
-    # hook reaches across whole row/column runs); 4 leaves margin while
-    # paying only 4 pointer-jump gathers — the dominant cost here
-    lbl = connected_components(valid, same, sweeps=4)
+    # hook reaches across whole row/column runs, so reach grows
+    # geometrically); the pointer-jump gathers are the dominant cost here
+    lbl = connected_components(valid, same, sweeps=3)
     sizes = jnp.zeros(H * W, jnp.int32).at[lbl.reshape(-1)].add(
         valid.reshape(-1).astype(jnp.int32))
     comp_size = sizes[lbl]

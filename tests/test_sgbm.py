@@ -83,3 +83,20 @@ def test_correct_pitch_levels_ground():
     # ground y nearly constant after correction at mid-depths
     assert np.std(ys[m]) < spread_before
     assert abs(np.mean(ys[m]) - 1.65) < 0.2
+
+
+def test_fused_aggregation_matches_per_direction_blocked():
+    """The single-scan fused aggregation (all 4 directions in one
+    recurrence) must compute exactly the same path costs as running the
+    blocked bidirectional scan separately per axis."""
+    key = jax.random.PRNGKey(7)
+    vol = jax.random.uniform(key, (40, 48, 16), jnp.float32) * 100.0
+    cfg = SgbmConfig(num_disparities=16, scan_block=8, scan_halo=4)
+    p1, p2 = float(cfg.p1) / 16.0, float(cfg.p2) / 16.0
+    fused = sgbm._aggregate(vol, cfg)
+    ref = sgbm._sgm_scan_bidir_blocked(vol, p1, p2, 8, 4)
+    ref = ref + jnp.swapaxes(
+        sgbm._sgm_scan_bidir_blocked(jnp.swapaxes(vol, 0, 1), p1, p2, 8, 4),
+        0, 1)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=0, atol=1e-4)
