@@ -89,17 +89,25 @@ def track_frame(state: TrackerState,
     # ---- RANSAC + GN motion ----
     res = vo.estimate_motion(m, K, key, cfg.vo)
 
-    # ---- triangulation + pitch + moving-object mask ----
+    # ---- triangulation + pitch feedback + moving-object mask ----
+    # Reference Process order (uvdisparity.cpp:842-874): measure the pitch,
+    # smooth it with the persistent Kalman filter, rotate the 3D field by
+    # the SMOOTHED pitch (correct3DPoints, stereo.cpp:127-181), re-filter
+    # the ROI on the corrected points, then run U-disparity segmentation.
     pts = gstereo.triangulate_image(K, disparity, cfg.camera)
+    pitch_meas, line_a, line_b = uvd.measure_pitch(
+        disparity, sg.valid, pts.roi, K, cfg.sgbm.num_disparities)
+    kf = uvd.pitch_kalman_update(state.pitch_kf, pitch_meas[None],
+                                 cfg.uvdisparity)
+    pts_c = gstereo.correct_pitch(pts, kf.x[0], cfg.camera)
     inl_uv = m.lc
     out_uv = m.lc
     uv_res = uvd.detect_moving_objects(
-        disparity, sg.valid, pts.roi,
+        disparity, sg.valid, pts_c.roi,
         inl_uv, m.valid & res.inliers,
         out_uv, m.valid & ~res.inliers, K,
-        num_disparities=cfg.sgbm.num_disparities, cfg=cfg.uvdisparity)
-    kf = uvd.pitch_kalman_update(state.pitch_kf, uv_res.pitch[None],
-                                 cfg.uvdisparity)
+        num_disparities=cfg.sgbm.num_disparities, cfg=cfg.uvdisparity,
+        line_ab=(line_a, line_b))
 
     # ---- pose integration / state machine ----
     # (unlike the reference's updateFrame, this step always receives a
@@ -164,16 +172,39 @@ def track_frames_batched(state: TrackerState,
     res = jax.vmap(lambda mm, k: vo.estimate_motion(mm, K, k, cfg.vo))(
         m, keys)
 
+    # ---- pitch feedback (reference uvdisparity.cpp:842-874): the Kalman
+    # filter is inherently sequential across the window, but the pitch
+    # MEASUREMENT (V-disparity + line fit) is per-frame independent — so
+    # measure under vmap, scan the (tiny) KF over the B measurements, then
+    # run the heavy correction + U-disparity detection under vmap again
+    # with each frame's smoothed pitch.
+    pts = jax.vmap(lambda d: gstereo.triangulate_image(K, d, cfg.camera))(
+        disparity)
+    pitch_meas, line_a, line_b = jax.vmap(
+        lambda d, v, roi: uvd.measure_pitch(
+            d, v, roi, K, cfg.sgbm.num_disparities))(
+                disparity, sg.valid, pts.roi)
+
+    def kf_step(kf, meas):
+        kf2 = uvd.pitch_kalman_update(kf, meas[None], cfg.uvdisparity)
+        return kf2, kf2.x[0]
+
+    kf_final, pitch_smooth = jax.lax.scan(kf_step, state.pitch_kf,
+                                          pitch_meas)
+
     pts_roi = jax.vmap(
-        lambda d: gstereo.triangulate_image(K, d, cfg.camera).roi)(disparity)
-    uv_res = jax.vmap(lambda d, v, roi, mm, inl: uvd.detect_moving_objects(
-        d, v, roi, mm.lc, mm.valid & inl, mm.lc, mm.valid & ~inl, K,
-        num_disparities=cfg.sgbm.num_disparities, cfg=cfg.uvdisparity))(
-            disparity, sg.valid, pts_roi, m, res.inliers)
+        lambda p, ps: gstereo.correct_pitch(p, ps, cfg.camera).roi)(
+            pts, pitch_smooth)
+    uv_res = jax.vmap(
+        lambda d, v, roi, mm, inl, la, lb: uvd.detect_moving_objects(
+            d, v, roi, mm.lc, mm.valid & inl, mm.lc, mm.valid & ~inl, K,
+            num_disparities=cfg.sgbm.num_disparities, cfg=cfg.uvdisparity,
+            line_ab=(la, lb)))(
+        disparity, sg.valid, pts_roi, m, res.inliers, line_a, line_b)
 
     # ---- sequential state machine over the B results (cheap) ----
     def step(st: TrackerState, inp):
-        T_delta, success, pitch = inp
+        T_delta, success = inp
         first = st.status == NOT_READY
         ok = success
         pose_ok = se3.compose(st.pose, se3.inverse(T_delta))
@@ -183,16 +214,15 @@ def track_frames_batched(state: TrackerState,
         new_lost = jnp.where(ok | first, 0, st.lost_count + 1)
         new_status = jnp.where(new_lost > cfg.tracker.max_lost_frames,
                                LOST, OK).astype(jnp.int32)
-        kf = uvd.pitch_kalman_update(st.pitch_kf, pitch[None],
-                                     cfg.uvdisparity)
         new_st = TrackerState(
             status=new_status, pose=new_pose, velocity=new_velocity,
-            lost_count=new_lost.astype(jnp.int32), pitch_kf=kf,
+            lost_count=new_lost.astype(jnp.int32), pitch_kf=st.pitch_kf,
             frame_index=st.frame_index + 1)
         return new_st, (new_pose, new_status)
 
     state, (poses, statuses) = jax.lax.scan(
-        step, state, (res.T_delta, res.success, uv_res.pitch))
+        step, state._replace(pitch_kf=kf_final),
+        (res.T_delta, res.success))
 
     out = FrameResult(
         pose=poses, T_delta=res.T_delta, status=statuses,

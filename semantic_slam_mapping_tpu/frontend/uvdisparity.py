@@ -33,7 +33,7 @@ uvdisparity.cpp:842-903):
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -156,24 +156,56 @@ def sigmoid_adjust(u_disp: jnp.ndarray, cfg: UVDisparityConfig) -> jnp.ndarray:
                                   * (u_disp * 255.0 / 8.0 - cfg.sigmoid_beta)))
 
 
+def measure_pitch(disparity: jnp.ndarray, valid: jnp.ndarray,
+                  roi: jnp.ndarray, K: Intrinsics,
+                  num_disparities: int) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                 jnp.ndarray]:
+    """V-disparity ground-line fit -> (pitch measurement, line a, line b).
+
+    This is the reference's Pitch_Classify stage (uvdisparity.cpp:368-528)
+    pulled out of the detection pass so the caller can run the Kalman
+    filter on the measurement and feed the *smoothed* pitch back into
+    correct3DPoints-style point rectification BEFORE U-disparity — matching
+    the reference's Process order (uvdisparity.cpp:842-874: measure ->
+    KF predict/correct -> correct3DPoints(statePost) -> re-filter ROI ->
+    calUDisparity). The reference smooths two angles but correct3DPoints
+    consumes only pitch1 (stereo.cpp:127-135: only cos_p1/sin_p1 appear),
+    so one filter suffices."""
+    vd = v_disparity(disparity, valid & roi, num_disparities)
+    a, b = fit_ground_line(vd)
+    return ground_pitch(K, b), a, b
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_disparities"))
 def detect_moving_objects(
         disparity: jnp.ndarray, valid: jnp.ndarray, roi: jnp.ndarray,
         inlier_uv: jnp.ndarray, inlier_valid: jnp.ndarray,
         outlier_uv: jnp.ndarray, outlier_valid: jnp.ndarray,
         K: Intrinsics, num_disparities: int = 80,
-        cfg: UVDisparityConfig = UVDisparityConfig()) -> UVResult:
+        cfg: UVDisparityConfig = UVDisparityConfig(),
+        line_ab: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+        ) -> UVResult:
     """Full U-V-disparity pass for one frame.
 
     inlier_uv/outlier_uv: (N, 2) current-left pixel positions of the VO
     inlier and outlier matches (the reference feeds VO in/outliers to seed
     and veto segmentation, uvdisparity.cpp:842-903).
+
+    line_ab: optionally the precomputed ground line (a, b) from
+    ``measure_pitch`` — pass it (together with a ``roi`` already re-filtered
+    through ``geometry.stereo.correct_pitch`` at the Kalman-smoothed pitch)
+    to reproduce the reference's pitch-corrected re-filter loop
+    (uvdisparity.cpp:854-874). When None, the line is fit here (standalone/
+    single-shot use).
     """
     H, W = disparity.shape
 
     # ---- ground line + pitch from V-disparity ----
-    vd = v_disparity(disparity, valid & roi, num_disparities)
-    a, b = fit_ground_line(vd)
+    if line_ab is None:
+        vd = v_disparity(disparity, valid & roi, num_disparities)
+        a, b = fit_ground_line(vd)
+    else:
+        a, b = line_ab
     pitch = ground_pitch(K, b)
 
     # ground mask: pixels within a disparity band of the ground line

@@ -128,3 +128,60 @@ def test_histograms_count_correctly():
     ud = uvd.u_disparity(disp, valid, 4)
     assert float(ud[1, 0]) == 2.0  # disparity 1 at column 0 twice
     assert float(ud[2, 1]) == 1.0
+
+
+def test_pitch_feedback_loop_improves_recall():
+    """VERDICT r1 item 2: the Kalman-smoothed pitch must feed back into
+    correct_pitch + ROI re-filter before U-disparity (reference Process
+    order, uvdisparity.cpp:842-874 -> stereo.cpp:127-181). On a pitched
+    camera with a tight Y ROI, detection recall WITH the corrected ROI must
+    beat recall WITHOUT it (the uncorrected tilted ground pushes obstacle
+    points out of the ROI)."""
+    from semantic_slam_mapping_tpu.geometry.stereo import correct_pitch
+
+    cam = CameraConfig(fx=300.0, fy=300.0, cx=W / 2, cy=H / 2, baseline=0.54,
+                       roix=30.0, roiy=4.0, roiz=60.0)
+    K = Intrinsics.from_config(cam)
+    pitch_true = 0.08
+    world = synthetic.make_world(jax.random.PRNGKey(11), n_boxes=10,
+                                 with_moving_box=True)
+    T = se3.exp(jnp.array([0.0, 0.0, 0.0, pitch_true, 0.0, 0.0]))
+    img, depth, sem, moving = synthetic.render(K, T, world, H, W)
+    disp = jnp.where(depth > 0.3, K.bf / jnp.maximum(depth, 0.3), 0.0)
+    valid = depth > 0.3
+    pts = triangulate_image(K, disp, cam)
+
+    out_uv, out_ok = seeds_from_mask(moving, 40, 1)
+    static = valid & ~moving & (depth < 50.0)
+    in_uv, in_ok = seeds_from_mask(static, 120, 2)
+
+    # ---- the loop: measure -> KF -> correct -> re-filter ----
+    meas, a, b = uvd.measure_pitch(disp, valid, pts.roi, K, ND)
+    kf = uvd.PitchKalmanState.init()
+    for _ in range(3):   # sequence steady state
+        kf = uvd.pitch_kalman_update(kf, meas[None], CFG)
+    smoothed = kf.x[0]
+    assert abs(float(smoothed) - pitch_true) < 0.03, float(smoothed)
+
+    pts_c = correct_pitch(pts, smoothed, cam)
+    # sanity: correction levels the GROUND (same check as test_sgbm's unit
+    # test but driven by the MEASURED smoothed pitch, not GT). Restrict to
+    # road pixels: the rigid rotation can't shrink the spread of a scene
+    # that includes vertical structure.
+    m = (np.asarray(sem) == synthetic.CLASS_ROAD) & np.asarray(valid) \
+        & (np.asarray(depth) > 2) & (np.asarray(depth) < 40)
+    assert (np.std(np.asarray(pts_c.xyz[..., 1])[m])
+            < 0.5 * np.std(np.asarray(pts.xyz[..., 1])[m]))
+
+    res_with = uvd.detect_moving_objects(
+        disp, valid, pts_c.roi, in_uv, in_ok, out_uv, out_ok, K,
+        num_disparities=ND, cfg=CFG, line_ab=(a, b))
+    res_without = uvd.detect_moving_objects(
+        disp, valid, pts.roi, in_uv, in_ok, out_uv, out_ok, K,
+        num_disparities=ND, cfg=CFG)
+
+    gt = np.asarray(moving)
+    recall_with = np.asarray(res_with.moving_mask)[gt].mean()
+    recall_without = np.asarray(res_without.moving_mask)[gt].mean()
+    assert recall_with >= recall_without
+    assert recall_with > 0.5, (recall_with, recall_without)
