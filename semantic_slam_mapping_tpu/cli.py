@@ -124,7 +124,8 @@ def cmd_rgbd(args):
     K = Intrinsics.from_config(cfg.camera)
     reader = TumReader(args.data, depth_scale=args.depth_scale,
                        end_index=args.frames or None)
-    state = RgbdTrackerState.initial(cfg.orb.n_features)
+    state = RgbdTrackerState.initial(cfg.orb.n_features,
+                                     cfg.tracker.ref_frames)
     traj, ts = [], []
     timer = StageTimer()
     for frame in reader:
@@ -177,7 +178,8 @@ def cmd_pnp(args):
             / jnp.maximum(res.disparity, 1e-3), 0.0)
         return track_frame_rgbd(state, left, depth, K, cfg)
 
-    state = RgbdTrackerState.initial(cfg.orb.n_features)
+    state = RgbdTrackerState.initial(cfg.orb.n_features,
+                                     cfg.tracker.ref_frames)
     traj = []
     timer = StageTimer()
     for frame in reader:

@@ -26,6 +26,7 @@ jitted device call over fixed-shape slices of it.
 from __future__ import annotations
 
 import dataclasses
+from collections import deque
 from typing import List, Optional
 
 import jax
@@ -99,7 +100,14 @@ class SlamSystem:
         self.frame_count = 0
         self.n_loop_edges = 0
         self.n_optimizations = 0
+        self.n_recoveries = 0
         self._prev = None  # previous (left, right) device arrays
+        self._last_disparity = None  # disparity of the newest tracked frame
+        # bounded reference-frame deque (refFrames, track.cpp:130-136;
+        # size tracker_ref_frames, parameters.txt:81) — relocalization
+        # anchors for adjust/lostRecover. Holds recent keyframes (they
+        # carry the ORB features + 3D positions PnP needs).
+        self.ref_frames: deque = deque(maxlen=max(1, cfg.tracker.ref_frames))
         self.map = None
         if enable_mapping:
             from semantic_slam_mapping_tpu.mapping.native import \
@@ -132,8 +140,12 @@ class SlamSystem:
             self.state, left, right, prev_left, prev_right,
             self.K, k, self.cfg)
         self._prev = (left, right)
+        self._last_disparity = out.disparity
         self.trajectory.append(np.asarray(out.pose))
         self.frame_count += 1
+
+        if int(out.status) == tracker.LOST and self.ref_frames:
+            self._lost_recover(left, out.disparity)
 
         if self._keyframe_due(out):
             self._insert_keyframe(out, left, right, color, semantic)
@@ -155,6 +167,7 @@ class SlamSystem:
         self.state, out = tracker.track_frames_batched(
             self.state, lefts, rights, self.K, k, self.cfg)
         self._prev = (lefts[-1], rights[-1])
+        self._last_disparity = out.disparity[-1]
         poses = np.asarray(out.pose)
         for i in range(B):
             self.trajectory.append(poses[i])
@@ -171,6 +184,8 @@ class SlamSystem:
                     single, lefts[i + 1], rights[i + 1],
                     colors[i + 1] if colors is not None else None,
                     semantics[i + 1] if semantics is not None else None)
+        if int(out.status[-1]) == tracker.LOST and self.ref_frames:
+            self._lost_recover(lefts[-1], out.disparity[-1])
         return out
 
     # ------------------------------------------------------------------
@@ -226,6 +241,7 @@ class SlamSystem:
             semantic=(np.asarray(semantic) if semantic is not None else None),
             disparity=np.asarray(out.disparity, np.float16))
         self.keyframes.append(kf)
+        self.ref_frames.append(kf)   # bounded deque (track.cpp:130-136)
 
         # graph vertex (host-side numpy mutation)
         self.graph.poses[kf_id] = kf.pose
@@ -425,12 +441,86 @@ class SlamSystem:
                      cfg.local_window, n)
         if did:
             self.n_optimizations += 1
+            pre_opt = self.keyframes[-1].pose.copy()
             poses = self.graph.poses[:n]
             for i, kfr in enumerate(self.keyframes):
                 kfr.pose = poses[i]
-            # re-anchor the frontend at the optimized last keyframe
-            self.state = tracker.adjust(self.state, jnp.asarray(poses[-1]))
-            self.trajectory[-1] = poses[-1]
+            self._adjust_frontend(self.keyframes[-1], pre_opt)
+
+    # ------------------------------------------------------------------
+    def _pnp_to_ref(self, ref: Keyframe, left, disparity,
+                    T_init: np.ndarray):
+        """PnP the given live frame against a reference keyframe
+        (solvePnPLazy current<->ref, the core of Tracker::adjust,
+        track.h:114-131). Returns the new T_w_c or None."""
+        feats, _, _ = self._extract_features(left, disparity)
+        info = pnp_mod.solve_pnp_lazy(
+            jnp.asarray(ref.feat_desc), jnp.asarray(ref.feat_xyz),
+            jnp.asarray(ref.feat_valid),
+            jnp.asarray(feats.desc), jnp.asarray(feats.xy), feats.valid,
+            self.K, jnp.asarray(T_init.astype(np.float32)),
+            self.cfg.pnp, self.cfg.orb.knn_match_ratio)
+        if not bool(info.success):
+            return None
+        # info.T maps ref-camera coords -> current-camera coords, so
+        # T_w_cur = T_w_ref @ inv(T)  (the reference's
+        # `currentFrame->setTransform(info.T * ref->getTransform())` in its
+        # world-to-frame convention, track.h:119-121)
+        return ref.pose @ np.linalg.inv(np.asarray(info.T, np.float64))
+
+    # ------------------------------------------------------------------
+    def _adjust_frontend(self, ref: Keyframe, ref_pose_pre_opt: np.ndarray):
+        """Tracker::adjust (track.h:114-131, called from
+        pose_graph.cpp:298-302): re-anchor the live frontend on the
+        optimized reference keyframe and reset the ref deque to [ref].
+
+        If the live frame IS the ref keyframe (single-frame mode:
+        optimization only triggers at keyframe insertion) the optimized
+        pose is exact. Otherwise (window mode, tracker ran past the KF)
+        re-localize by PnP current<->ref like the reference; if PnP fails,
+        transport the optimization correction onto the live pose
+        (pose <- T_opt @ inv(T_pre) @ pose)."""
+        cur_pose = np.asarray(self.state.pose, np.float64)
+        if self.frame_count - 1 == ref.frame_index or self._prev is None \
+                or self._last_disparity is None:
+            new_pose = ref.pose.astype(np.float64)
+        else:
+            T_init = np.linalg.inv(cur_pose) @ ref.pose
+            new_pose = self._pnp_to_ref(ref, self._prev[0],
+                                        self._last_disparity, T_init)
+            if new_pose is None:
+                new_pose = (ref.pose @ np.linalg.inv(ref_pose_pre_opt)
+                            @ cur_pose)
+        self.state = tracker.adjust(
+            self.state, jnp.asarray(new_pose.astype(np.float32)))
+        self.trajectory[-1] = np.asarray(new_pose)
+        self.ref_frames.clear()
+        self.ref_frames.append(ref)
+
+    # ------------------------------------------------------------------
+    def _lost_recover(self, left, disparity) -> bool:
+        """LOST-state recovery (lostRecover, track.cpp:202-212), upgraded
+        with the adjust PnP: try to re-localize the current frame against
+        the ref-frame deque newest-first; on total failure re-seed at the
+        newest ref pose (the reference's behavior)."""
+        cur_pose = np.asarray(self.state.pose, np.float64)
+        for ref in reversed(self.ref_frames):
+            T_init = np.linalg.inv(cur_pose) @ ref.pose
+            new_pose = self._pnp_to_ref(ref, left, disparity, T_init)
+            if new_pose is not None:
+                self.state = tracker.adjust(
+                    self.state, jnp.asarray(new_pose.astype(np.float32)))
+                self.trajectory[-1] = np.asarray(new_pose)
+                self.n_recoveries += 1
+                log.info("relocalized against keyframe %d", ref.kf_id)
+                return True
+        self.state = tracker.lost_recover(
+            self.state, jnp.asarray(self.ref_frames[-1].pose))
+        self.trajectory[-1] = self.ref_frames[-1].pose
+        self.n_recoveries += 1
+        log.info("lost: re-seeded at keyframe %d pose",
+                 self.ref_frames[-1].kf_id)
+        return False
 
     # ------------------------------------------------------------------
     def _run_segnet(self, left, color):

@@ -79,3 +79,52 @@ def test_g2o_export(tmp_path, seq_and_vocab):
     # vertex line has 1 id + 7 floats
     first = text.splitlines()[0].split()
     assert first[0] == "VERTEX_SE3:QUAT" and len(first) == 9
+
+
+def test_lost_recovery_bounded_ate(seq_and_vocab):
+    """VERDICT r1 item 3: blind the tracker for > max_lost_frames frames
+    mid-sequence; the system must enter LOST, relocalize against the
+    ref-frame deque (lostRecover + adjust-PnP, track.cpp:202-212,
+    track.h:114-131), and finish with bounded ATE on the sighted frames."""
+    import dataclasses
+
+    from semantic_slam_mapping_tpu.config import TrackerConfig
+
+    seq, vocab = seq_and_vocab
+    cfg = dataclasses.replace(CFG, tracker=TrackerConfig(max_lost_frames=2))
+    sys_ = SlamSystem(cfg, vocab=vocab)
+
+    n_sighted = 8
+    n_blind = 4
+    rng = np.random.default_rng(7)
+    lefts = np.asarray(seq["left"]).copy()
+    rights = np.asarray(seq["right"]).copy()
+    gt = np.asarray(seq["poses"]).copy()
+    # camera holds still while blind: repeat frame n_sighted-1's view but
+    # feed NOISE to the tracker (a covered lens)
+    for i in range(n_sighted, n_sighted + n_blind):
+        lefts[i] = rng.uniform(0, 1, lefts[i].shape).astype(np.float32)
+        rights[i] = rng.uniform(0, 1, rights[i].shape).astype(np.float32)
+        gt[i] = gt[n_sighted - 1]
+    # frames after the blind span resume from the hold point
+    for i in range(n_sighted + n_blind, N_FRAMES):
+        lefts[i] = lefts[i - n_blind]
+        rights[i] = rights[i - n_blind]
+        gt[i] = gt[i - n_blind]
+
+    statuses = []
+    for i in range(N_FRAMES):
+        out = sys_.process_frame(lefts[i], rights[i])
+        if out is not None:
+            statuses.append(int(out.status))
+    traj = sys_.finish()
+
+    from semantic_slam_mapping_tpu.frontend.tracker import LOST, OK
+    assert LOST in statuses, "blind span never triggered LOST"
+    assert sys_.n_recoveries >= 1
+    assert int(sys_.state.status) == OK
+    # ATE on sighted frames only (the blind span has no valid estimate)
+    sighted = list(range(n_sighted)) + list(range(n_sighted + n_blind,
+                                                  N_FRAMES))
+    ate = metrics.absolute_trajectory_error(traj[sighted], gt[sighted])
+    assert ate.rmse < 1.0, ate

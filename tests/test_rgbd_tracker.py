@@ -54,7 +54,7 @@ def test_rgbd_first_frame_initializes(rgbd_seq):
     state, out = rt.track_frame_rgbd(state, grays[0], depths[0], K, CFG)
     assert int(state.status) == rt.OK
     np.testing.assert_allclose(np.asarray(out.pose), np.eye(4), atol=1e-6)
-    assert int(state.prev_valid.sum()) > 50
+    assert int(state.ref_valid.sum()) > 50
 
 
 def test_rgbd_lost_on_noise(rgbd_seq):
@@ -66,3 +66,23 @@ def test_rgbd_lost_on_noise(rgbd_seq):
         noise = jax.random.uniform(jax.random.PRNGKey(i), (H, W))
         state, out = rt.track_frame_rgbd(state, noise, depths[0], K, cfg)
     assert int(state.status) == rt.LOST
+
+
+def test_rgbd_ref_deque_survives_dropout(rgbd_seq):
+    """One corrupted frame must not break the chain: failed frames are not
+    pushed into the ref deque (track.cpp:158-176), so the next good frame
+    still matches the retained references (trackRefFrame semantics)."""
+    K, grays, depths, poses = rgbd_seq
+    state = rt.RgbdTrackerState.initial(CFG.orb.n_features, ref_frames=5)
+    for i in range(3):
+        state, out = rt.track_frame_rgbd(state, grays[i], depths[i], K, CFG)
+        if i:
+            assert bool(out.success)
+    noise = jax.random.uniform(jax.random.PRNGKey(1), (H, W))
+    state, out = rt.track_frame_rgbd(state, noise, depths[2], K, CFG)
+    assert not bool(out.success)
+    state, out = rt.track_frame_rgbd(state, grays[3], depths[3], K, CFG)
+    assert bool(out.success)
+    err = np.linalg.norm(np.asarray(out.pose)[:3, 3]
+                         - np.asarray(poses)[3][:3, 3])
+    assert err < 0.15, err
