@@ -78,17 +78,25 @@ class SgbmConfig:
     speckle_range: int = 32
     disp12_max_diff: int = 1
     pre_filter_cap: int = 63
-    full_dp: bool = True       # 8-direction vs 5-direction aggregation
+    # OpenCV fullDP (MODE_HH, 8 aggregation directions). The reference's
+    # StereoSGBM leaves it at the 2.4.x default false (stereo.cpp:13-28).
+    # True forces num_directions=8.
+    full_dp: bool = False
     # TPU implementation knobs (not in reference)
-    num_directions: int = 4    # DP aggregation directions (4 = L,R,U,D)
+    num_directions: int = 4    # 4 = axis-aligned; 8 adds the diagonals
     # Block-parallel SGM scans: restart each directional scan `scan_halo`
     # steps before a `scan_block`-wide tile (GPU-SGM-style overlap; path
     # influence decays, so the carry converges within the halo). 0 = exact
     # full-length sequential scan.
     scan_block: int = 128
     scan_halo: int = 32
+    # speckle-filter CC label-propagation sweeps: 4 converges worst-case
+    # serpentine topologies (3 splits them and invalidates good disparity)
+    speckle_cc_sweeps: int = 4
     use_pallas: bool = False   # opt-in Pallas SGM kernel (axon remote-compile of it is currently pathologically slow; lax.scan path is within ~15% anyway)
-    cost_dtype: str = "int32"
+    # cost-volume / scan dtype: "bfloat16" (default; ~0.4% rounding, far
+    # below the P1 quantum, half the HBM traffic) or "float32" (exact)
+    cost_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)
@@ -179,8 +187,12 @@ class UVDisparityConfig:
     otsu_bins: int = 256
     # flood-fill iterations for label propagation (TPU fixed-sweep bound)
     flood_fill_sweeps: int = 4   # run-min hooks: 3 converges, 4 adds margin
-    max_masks: int = 32               # static budget for candidate masks
-    overlap_merge_threshold: float = 0.5
+    # NOTE deliberately absent vs the reference's uvdisparity.hpp constants:
+    # max-mask budget and overlap-merge threshold have no equivalent here —
+    # segmentation labels ALL components of the thresholded U-disparity in
+    # one CC pass, so masks are maximal and can neither overflow a budget
+    # nor overlap (mergeMasks/isOverlapped, uvdisparity.cpp:735-804, are
+    # subsumed).
 
 
 @dataclass(frozen=True)

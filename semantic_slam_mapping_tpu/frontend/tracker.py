@@ -46,12 +46,13 @@ class TrackerState(NamedTuple):
     frame_index: jnp.ndarray   # int32 scalar
 
     @classmethod
-    def initial(cls) -> "TrackerState":
+    def initial(cls, cfg: Optional[SlamConfig] = None) -> "TrackerState":
+        p0 = cfg.uvdisparity.kf_error_cov_post if cfg is not None else 1.0
         return cls(status=jnp.int32(NOT_READY),
                    pose=se3.identity(),
                    velocity=se3.identity(),
                    lost_count=jnp.int32(0),
-                   pitch_kf=uvd.PitchKalmanState.init(),
+                   pitch_kf=uvd.PitchKalmanState.init(p0),
                    frame_index=jnp.int32(0))
 
 
@@ -96,7 +97,8 @@ def track_frame(state: TrackerState,
     # the ROI on the corrected points, then run U-disparity segmentation.
     pts = gstereo.triangulate_image(K, disparity, cfg.camera)
     pitch_meas, line_a, line_b = uvd.measure_pitch(
-        disparity, sg.valid, pts.roi, K, cfg.sgbm.num_disparities)
+        disparity, sg.valid, pts.roi, K, cfg.sgbm.num_disparities,
+        cfg.uvdisparity)
     kf = uvd.pitch_kalman_update(state.pitch_kf, pitch_meas[None],
                                  cfg.uvdisparity)
     pts_c = gstereo.correct_pitch(pts, kf.x[0], cfg.camera)
@@ -182,7 +184,7 @@ def track_frames_batched(state: TrackerState,
         disparity)
     pitch_meas, line_a, line_b = jax.vmap(
         lambda d, v, roi: uvd.measure_pitch(
-            d, v, roi, K, cfg.sgbm.num_disparities))(
+            d, v, roi, K, cfg.sgbm.num_disparities, cfg.uvdisparity))(
                 disparity, sg.valid, pts.roi)
 
     def kf_step(kf, meas):

@@ -52,8 +52,11 @@ class PitchKalmanState(NamedTuple):
     P: jnp.ndarray   # (2, 2) covariance
 
     @classmethod
-    def init(cls) -> "PitchKalmanState":
-        return cls(x=jnp.zeros(2), P=jnp.eye(2))
+    def init(cls, error_cov_post: float = 1.0) -> "PitchKalmanState":
+        """error_cov_post: initial posterior covariance scale (the
+        reference's KF errorCovPost init, uvdisparity.cpp:35-47;
+        UVDisparityConfig.kf_error_cov_post)."""
+        return cls(x=jnp.zeros(2), P=error_cov_post * jnp.eye(2))
 
 
 def pitch_kalman_update(state: PitchKalmanState, measurement: jnp.ndarray,
@@ -106,16 +109,23 @@ def u_disparity(disparity: jnp.ndarray, mask: jnp.ndarray,
         mask.reshape(-1).astype(jnp.float32))
 
 
-def fit_ground_line(vdisp: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def fit_ground_line(vdisp: jnp.ndarray,
+                    cfg: UVDisparityConfig = UVDisparityConfig()
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fit the ground line v = a*d + b to the V-disparity.
 
     The reference blurs/erodes, Otsu-thresholds, then picks the bottom-most
     above-threshold row per disparity column and least-squares fits
     (Pitch_Classify, uvdisparity.cpp:368-528). Same here, vectorized:
-    per-column bottom-most strong bin -> weighted least squares."""
+    per-column bottom-most strong bin -> weighted least squares. The blur
+    kernel width (v_blur_ksize, GaussianBlur at uvdisparity.cpp:400) and
+    Otsu histogram resolution (otsu_bins) come from cfg."""
     H, D = vdisp.shape
-    sm = im.gaussian_blur(vdisp, 1.0)
-    th = im.otsu_threshold(sm, value_range=(0.0, jnp.max(sm) + 1e-6))
+    radius = max(1, cfg.v_blur_ksize // 2)
+    sm = im.gaussian_blur(vdisp, sigma=max(0.5, cfg.v_blur_ksize / 3.0),
+                          radius=radius)
+    th = im.otsu_threshold(sm, n_bins=cfg.otsu_bins,
+                           value_range=(0.0, jnp.max(sm) + 1e-6))
     strong = sm > jnp.maximum(th, 1.0)
     rows = jnp.arange(H, dtype=jnp.float32)[:, None]
     # intensity-weighted centroid row of the strong band, restricted to the
@@ -158,8 +168,9 @@ def sigmoid_adjust(u_disp: jnp.ndarray, cfg: UVDisparityConfig) -> jnp.ndarray:
 
 def measure_pitch(disparity: jnp.ndarray, valid: jnp.ndarray,
                   roi: jnp.ndarray, K: Intrinsics,
-                  num_disparities: int) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                                 jnp.ndarray]:
+                  num_disparities: int,
+                  cfg: UVDisparityConfig = UVDisparityConfig()
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """V-disparity ground-line fit -> (pitch measurement, line a, line b).
 
     This is the reference's Pitch_Classify stage (uvdisparity.cpp:368-528)
@@ -172,7 +183,7 @@ def measure_pitch(disparity: jnp.ndarray, valid: jnp.ndarray,
     consumes only pitch1 (stereo.cpp:127-135: only cos_p1/sin_p1 appear),
     so one filter suffices."""
     vd = v_disparity(disparity, valid & roi, num_disparities)
-    a, b = fit_ground_line(vd)
+    a, b = fit_ground_line(vd, cfg)
     return ground_pitch(K, b), a, b
 
 
@@ -203,7 +214,7 @@ def detect_moving_objects(
     # ---- ground line + pitch from V-disparity ----
     if line_ab is None:
         vd = v_disparity(disparity, valid & roi, num_disparities)
-        a, b = fit_ground_line(vd)
+        a, b = fit_ground_line(vd, cfg)
     else:
         a, b = line_ab
     pitch = ground_pitch(K, b)

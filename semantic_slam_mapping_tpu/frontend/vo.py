@@ -61,11 +61,17 @@ def _residuals(T: jnp.ndarray, X: jnp.ndarray, obs: jnp.ndarray,
 
 def _gn_refine(T0: jnp.ndarray, X: jnp.ndarray, obs: jnp.ndarray,
                w: jnp.ndarray, K: Intrinsics, iters: int,
-               damping: float = 1e-6) -> jnp.ndarray:
+               damping: float = 1e-6,
+               step_tol: float = 0.0) -> jnp.ndarray:
     """Masked/weighted Gauss-Newton on SE(3): T <- exp(delta) T.
-    w: (N,) weights (0 disables a point)."""
+    w: (N,) weights (0 disables a point). Iteration count is fixed (TPU
+    static shapes) but updates freeze once |delta| < step_tol — the
+    reference's early-exit `if (norm < 1e-8) break` (vo_stereo.cpp:106,128)
+    as a convergence mask."""
 
-    def step(T, _):
+    def step(carry, _):
+        T, done = carry
+
         def r_of(delta):
             return _residuals(se3.compose(se3.exp(delta), T), X, obs, K)
         r = r_of(jnp.zeros(6))
@@ -77,11 +83,13 @@ def _gn_refine(T0: jnp.ndarray, X: jnp.ndarray, obs: jnp.ndarray,
                        precision=jax.lax.Precision.HIGHEST)
         H = H + damping * jnp.eye(6)
         delta = -jnp.linalg.solve(H, g)
-        ok = jnp.all(jnp.isfinite(delta))
+        ok = jnp.all(jnp.isfinite(delta)) & ~done
         T_new = se3.compose(se3.exp(jnp.where(ok, delta, 0.0)), T)
-        return T_new, None
+        done = done | (jnp.linalg.norm(delta) < step_tol)
+        return (T_new, done), None
 
-    T, _ = jax.lax.scan(step, T0, None, length=iters)
+    (T, _), _ = jax.lax.scan(step, (T0, jnp.asarray(False)), None,
+                             length=iters)
     return T
 
 
@@ -125,7 +133,7 @@ def estimate_motion(matches: QuadMatches, K: Intrinsics,
         idx = order[pick]
         w = jnp.zeros(N).at[idx].set(1.0) * w_valid
         T = _gn_refine(se3.identity(), X, obs, w, K,
-                       cfg.gn_iters_hypothesis)
+                       cfg.gn_iters_hypothesis, step_tol=cfg.gn_step_tol)
         err = _sq_err(T, X, obs, K)
         inl = (err < cfg.inlier_threshold ** 2) & matches.valid
         return T, jnp.sum(inl)
@@ -138,7 +146,8 @@ def estimate_motion(matches: QuadMatches, K: Intrinsics,
     err = _sq_err(T_best, X, obs, K)
     inl = (err < cfg.inlier_threshold ** 2) & matches.valid
     w = inl.astype(jnp.float32) * w_geom
-    T_final = _gn_refine(T_best, X, obs, w, K, cfg.gn_iters_refine)
+    T_final = _gn_refine(T_best, X, obs, w, K, cfg.gn_iters_refine,
+                     step_tol=cfg.gn_step_tol)
 
     err_f = _sq_err(T_final, X, obs, K)
     inl_f = (err_f < cfg.inlier_threshold ** 2) & matches.valid

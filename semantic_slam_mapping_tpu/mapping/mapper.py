@@ -49,6 +49,35 @@ def semantic_motion_mask(labels: jnp.ndarray,
     return im.dilate(m, 3, cfg.dilate_iters)
 
 
+def motion_overlay_fuse(sem_moving: jnp.ndarray, uv_moving: jnp.ndarray,
+                        cfg: MapperConfig) -> jnp.ndarray:
+    """Motion-overlay contour fusion (the reference's refinement of the
+    semantic motion mask, mapper.cpp:217-271 — retained-but-disabled there;
+    live here behind the parameters.txt:101-102 thresholds): a semantic-
+    motion component with area > motion_area_threshold survives only if the
+    U-V motion mask covers > motion_overlay_portion_threshold of it; when
+    NO component passes, the plain semantic mask is kept unchanged (the
+    reference's early-return fallback). Contours+per-contour pixel loops
+    become one CC labelling + scatter-add statistics."""
+    from semantic_slam_mapping_tpu.ops.components import connected_components
+    H, W = sem_moving.shape
+    conn = lambda ax, sh: jnp.roll(sem_moving, sh, ax)
+    lbl = connected_components(
+        sem_moving, (conn(0, 1), conn(0, -1), conn(1, 1), conn(1, -1)),
+        sweeps=6)
+    flat = lbl.reshape(-1)
+    ones = sem_moving.reshape(-1).astype(jnp.float32)
+    area = jnp.zeros(H * W, jnp.float32).at[flat].add(ones)
+    overlay = jnp.zeros(H * W, jnp.float32).at[flat].add(
+        (sem_moving & uv_moving).reshape(-1).astype(jnp.float32))
+    portion = overlay / jnp.maximum(area, 1.0)
+    passed = ((area > cfg.motion_area_threshold)
+              & (portion > cfg.motion_overlay_portion_threshold))
+    fused = sem_moving & passed[lbl]
+    any_pass = jnp.any(fused)
+    return jnp.where(any_pass, fused, sem_moving)
+
+
 @partial(jax.jit, static_argnames=("cfg", "cam", "budget"))
 def generate_point_cloud(depth: jnp.ndarray, color: jnp.ndarray,
                          labels: jnp.ndarray, moving_mask: jnp.ndarray,
@@ -64,7 +93,8 @@ def generate_point_cloud(depth: jnp.ndarray, color: jnp.ndarray,
     chosen variant, mapper.cpp:82-84).
     """
     H, W = depth.shape
-    fused_moving = moving_mask | semantic_motion_mask(labels, cfg)
+    fused_moving = moving_mask | motion_overlay_fuse(
+        semantic_motion_mask(labels, cfg), moving_mask, cfg)
 
     keep = ((depth > 1e-3)
             & (depth < cfg.max_distance)

@@ -40,9 +40,14 @@ def _sep_filter(img: jnp.ndarray, kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray
     x = jnp.pad(x, ((0, 0), (0, 0), (ry, ry), (rx, rx)), mode="reflect")
     kh = jnp.asarray(ky, img.dtype).reshape(1, 1, -1, 1)
     kw = jnp.asarray(kx, img.dtype).reshape(1, 1, 1, -1)
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
-    return x.reshape(batch_shape + (H, W))
+    # accumulate in f32 regardless of input dtype: an 11-tap window sum of
+    # O(100) bf16 terms would otherwise accrue a few units of rounding on
+    # backends that accumulate in the input dtype
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                     preferred_element_type=jnp.float32)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
+                                     preferred_element_type=jnp.float32)
+    return x.reshape(batch_shape + (H, W)).astype(img.dtype)
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float = 1.0,

@@ -53,14 +53,18 @@ def _prefilter(img: jnp.ndarray, cap: float) -> jnp.ndarray:
 
 def _cost_volume(left: jnp.ndarray, right: jnp.ndarray,
                  cfg: SgbmConfig) -> jnp.ndarray:
-    """(H, W, D) matching cost, box-aggregated over the SAD window."""
-    # bf16 end-to-end: raw costs are O(100) with a P1 quantum of ~60, so
-    # bf16's ~0.4% relative rounding is noise; halves the HBM traffic of
-    # every volume pass from here on (cost build AND box aggregation).
-    lp = _prefilter(left, cfg.pre_filter_cap).astype(jnp.bfloat16)
-    rp = _prefilter(right, cfg.pre_filter_cap).astype(jnp.bfloat16)
-    li = (left * 255.0).astype(jnp.bfloat16)
-    ri = (right * 255.0).astype(jnp.bfloat16)
+    """(H, W, D) matching cost, box-aggregated over the SAD window.
+
+    Cost dtype is cfg.cost_dtype: bfloat16 by default — raw costs are
+    O(100) with a P1 quantum of ~60, so bf16's ~0.4% relative rounding is
+    noise, and it halves the HBM traffic of every volume pass from here on
+    (cost build, box aggregation AND the directional scans). float32 is
+    the exactness mode for tests/ablation."""
+    dt = jnp.dtype(cfg.cost_dtype)
+    lp = _prefilter(left, cfg.pre_filter_cap).astype(dt)
+    rp = _prefilter(right, cfg.pre_filter_cap).astype(dt)
+    li = (left * 255.0).astype(dt)
+    ri = (right * 255.0).astype(dt)
     H, W = left.shape
     D = cfg.num_disparities
 
@@ -85,9 +89,7 @@ def _cost_volume(left: jnp.ndarray, right: jnp.ndarray,
     # window aggregation (the "block" in SGBM), batched over the D axis
     win = cfg.sad_window_size
     vol = im.box_blur(vol, win)
-    # bf16 halves the HBM traffic of the dominant array; costs are O(100)
-    # magnitudes so the ~0.4% relative rounding is far below the P1 step
-    return jnp.moveaxis(vol, 0, -1).astype(jnp.bfloat16)  # (H, W, D)
+    return jnp.moveaxis(vol, 0, -1).astype(dt)            # (H, W, D)
 
 
 def _sgm_scan_bidir(cost: jnp.ndarray, p1: float, p2: float,
@@ -169,8 +171,9 @@ def _sgm_scan_bidir_blocked(cost: jnp.ndarray, p1: float, p2: float,
 
 def _sgm_segments(cost: jnp.ndarray, block: int, halo: int
                   ) -> Tuple[jnp.ndarray, int]:
-    """Cut (S, X, D) into overlapped blocks for both scan directions and
-    flatten to scan-ready (L, nb*2*X, D); returns (segments, nb)."""
+    """Cut (S, X, D) into overlapped blocks for both scan directions:
+    returns ((L, nb, 2, X, D) scan-ready segments, nb) where axis 2 stacks
+    the forward pass and the flipped (backward) pass of each block."""
     S, X, D = cost.shape
     nb = -(-S // block)
     L = block + 2 * halo
@@ -178,83 +181,141 @@ def _sgm_segments(cost: jnp.ndarray, block: int, halo: int
     seg = jax.vmap(lambda s: jax.lax.dynamic_slice(
         cpad, (s, 0, 0), (L, X, D)))(jnp.arange(nb) * block)  # (nb, L, X, D)
     both = jnp.stack([seg, seg[:, ::-1]], axis=1)            # (nb, 2, L, X, D)
-    both = jnp.moveaxis(both, 2, 0)                          # (L, nb, 2, X, D)
-    return both.reshape(L, nb * 2 * X, D), nb
+    return jnp.moveaxis(both, 2, 0), nb                      # (L, nb, 2, X, D)
 
 
 def _sgm_unsegment(path: jnp.ndarray, nb: int, S: int, X: int,
                    block: int, halo: int) -> jnp.ndarray:
-    """Inverse of `_sgm_segments` on the scanned path costs: drop halos,
-    sum the two directions, reassemble (S, X, D)."""
-    L, _, D = path.shape
-    p = path.reshape(L, nb, 2, X, D)
-    fwd = p[halo:halo + block, :, 0]                         # (block, nb, X, D)
-    bwd = p[::-1, :, 1][halo:halo + block]
+    """Inverse of `_sgm_segments` on the scanned (L, nb, 2, X, D) path
+    costs: drop halos, sum the two directions, reassemble (S, X, D)."""
+    D = path.shape[-1]
+    fwd = path[halo:halo + block, :, 0]                      # (block, nb, X, D)
+    bwd = path[::-1, :, 1][halo:halo + block]
     out = jnp.moveaxis(fwd + bwd, 1, 0).reshape(nb * block, X, D)
     return out[:S]
 
 
-def _aggregate(vol: jnp.ndarray, cfg: SgbmConfig) -> jnp.ndarray:
-    """Sum of 4 directional path costs. vol: (H, W, D).
+def _sgm_step(carry: jnp.ndarray, c: jnp.ndarray, p1: float, p2: float,
+              shift: int = 0) -> jnp.ndarray:
+    """One SGM recurrence step on a (..., X, D) carry.
 
-    On the blocked path, ALL FOUR directions ride ONE `lax.scan`: the
-    vertical and horizontal block-segments (each already carrying fwd+bwd
-    stacked) are flattened on the cross axis and concatenated, so the whole
-    aggregation is a single block+2*halo-step recurrence. The scans are
-    latency-bound (tiny per-step work, long sequential chains), so halving
-    the number of sequential steps ~halves aggregation time."""
+    shift=+1/-1 turns the axis-aligned path into a DIAGONAL one: the carry
+    is displaced one pixel along the cross axis X before the disparity
+    recurrence, so step s of the scan reads path costs from (s-1, x-+1) —
+    the fullDP diagonal directions without any volume skewing. Pixels at
+    the entering image edge receive a zero carry, which is a fixed point of
+    the recurrence (best - prev_min = 0), i.e. exactly the fresh-start
+    initialization OpenCV uses at borders."""
+    if shift:
+        z = jnp.zeros_like(carry[..., :1, :])
+        carry = (jnp.concatenate([z, carry[..., :-1, :]], axis=-2)
+                 if shift > 0 else
+                 jnp.concatenate([carry[..., 1:, :], z], axis=-2))
+    big = jnp.asarray(1e9, carry.dtype)
+    prev_min = jnp.min(carry, axis=-1, keepdims=True)
+    up = jnp.concatenate([carry[..., :1] + big, carry[..., :-1]], axis=-1)
+    dn = jnp.concatenate([carry[..., 1:], carry[..., -1:] + big], axis=-1)
+    best = jnp.minimum(
+        jnp.minimum(carry, prev_min + p2),
+        jnp.minimum(up + p1, dn + p1))
+    return c + best - prev_min
+
+
+def _num_directions(cfg: SgbmConfig) -> int:
+    """8 when fullDP (OpenCV MODE_HH; the reference's StereoSGBM leaves
+    fullDP at the 2.4.x default false, stereo.cpp:13-28), else
+    cfg.num_directions (4 = the axis-aligned subset)."""
+    n = 8 if cfg.full_dp else cfg.num_directions
+    if n not in (4, 8):
+        raise ValueError(f"num_directions must be 4 or 8, got {n}")
+    return n
+
+
+def _aggregate(vol: jnp.ndarray, cfg: SgbmConfig) -> jnp.ndarray:
+    """Sum of 4 or 8 directional path costs. vol: (H, W, D).
+
+    On the blocked path ALL directions ride ONE `lax.scan` as a tuple
+    carry: the vertical and horizontal block-segments advance in lockstep
+    (each already carrying fwd+bwd stacked), and with fullDP the four
+    diagonal paths join as two more tuple elements that reuse the vertical
+    segments with a +-1 cross-axis carry shift per step (`_sgm_step`). The
+    scans are latency-bound (tiny per-step work, long sequential chains),
+    so fusing them into one recurrence — rather than running 2-4 scans —
+    is what sets aggregation wall-clock."""
     p1, p2 = float(cfg.p1) / 16.0, float(cfg.p2) / 16.0
     # OpenCV P1/P2 are in units of the (scaled) BT cost summed over the
     # window; our cost is window-averaged, so rescale by ~window^2/8.
-    if cfg.use_pallas and jax.default_backend() == "tpu":
+    ndir = _num_directions(cfg)
+    H, W, D = vol.shape
+    block, halo = cfg.scan_block, cfg.scan_halo
+    volT = jnp.swapaxes(vol, 0, 1)                           # (W, H, D)
+
+    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+    blocked = (not use_pallas and block > 0 and H > block + 2 * halo
+               and W > block + 2 * halo)
+
+    if use_pallas:
         from semantic_slam_mapping_tpu.ops.pallas.sgm_pallas import \
             sgm_bidir_pallas
-        scan2 = lambda v: sgm_bidir_pallas(v, p1, p2)
-    else:
-        H, W, D = vol.shape
-        block, halo = cfg.scan_block, cfg.scan_halo
-        volT = jnp.swapaxes(vol, 0, 1)                       # (W, H, D)
-        if (block > 0 and H > block + 2 * halo
-                and W > block + 2 * halo):
-            r1, nb1 = _sgm_segments(vol, block, halo)
-            r2, nb2 = _sgm_segments(volT, block, halo)
-            big = jnp.asarray(1e9, vol.dtype)
+        agg = sgm_bidir_pallas(vol, p1, p2) \
+            + jnp.swapaxes(sgm_bidir_pallas(volT, p1, p2), 0, 1)
+        if ndir == 8:
+            agg = agg + _diag_paths_full(vol, p1, p2)
+        return agg
 
-            def one(carry, c):
-                prev_min = jnp.min(carry, axis=-1, keepdims=True)
-                up = jnp.concatenate(
-                    [carry[..., :1] + big, carry[..., :-1]], axis=-1)
-                dn = jnp.concatenate(
-                    [carry[..., 1:], carry[..., -1:] + big], axis=-1)
-                best = jnp.minimum(
-                    jnp.minimum(carry, prev_min + p2),
-                    jnp.minimum(up + p1, dn + p1))
-                return c + best - prev_min
+    if blocked:
+        r1, nb1 = _sgm_segments(vol, block, halo)
+        r2, nb2 = _sgm_segments(volT, block, halo)
+        # packs: (segments, per-step carry shift). Diagonals reuse r1.
+        packs = [(r1, 0), (r2, 0)]
+        if ndir == 8:
+            packs += [(r1, 1), (r1, -1)]
+        shifts = tuple(s for _, s in packs)
 
-            # one scan, tuple carry: the two axes' recurrences advance in
-            # lockstep without any cross-copy/concat relayout
-            def step(carry, cs):
-                o1 = one(carry[0], cs[0])
-                o2 = one(carry[1], cs[1])
-                return (o1, o2), (o1, o2)
+        def step(carries, cs):
+            outs = tuple(_sgm_step(cr, c, p1, p2, sh)
+                         for cr, c, sh in zip(carries, cs, shifts))
+            return outs, outs
 
-            init = (r1[0], r2[0])
-            _, (rest1, rest2) = jax.lax.scan(
-                step, init, (r1[1:], r2[1:]), unroll=8)
-            path1 = jnp.concatenate([init[0][None], rest1], axis=0)
-            path2 = jnp.concatenate([init[1][None], rest2], axis=0)
-            a1 = _sgm_unsegment(path1, nb1, H, W, block, halo)
-            a2 = _sgm_unsegment(path2, nb2, W, H, block, halo)
-            return a1 + jnp.swapaxes(a2, 0, 1)
-        if cfg.scan_block > 0:
-            scan2 = lambda v: _sgm_scan_bidir_blocked(
-                v, p1, p2, cfg.scan_block, cfg.scan_halo)
-        else:
-            scan2 = lambda v: _sgm_scan_bidir(v, p1, p2)
-    agg = scan2(vol)                                         # up + down
-    volT = jnp.swapaxes(vol, 0, 1)                           # (W, H, D)
-    agg = agg + jnp.swapaxes(scan2(volT), 0, 1)
+        init = tuple(r[0] for r, _ in packs)
+        _, rests = jax.lax.scan(
+            step, init, tuple(r[1:] for r, _ in packs), unroll=8)
+        paths = [jnp.concatenate([i[None], r], axis=0)
+                 for i, r in zip(init, rests)]
+        agg = _sgm_unsegment(paths[0], nb1, H, W, block, halo)
+        agg = agg + jnp.swapaxes(
+            _sgm_unsegment(paths[1], nb2, W, H, block, halo), 0, 1)
+        for p in paths[2:]:
+            agg = agg + _sgm_unsegment(p, nb1, H, W, block, halo)
+        return agg
+
+    scan2 = ((lambda v: _sgm_scan_bidir_blocked(v, p1, p2, block, halo))
+             if block > 0 else (lambda v: _sgm_scan_bidir(v, p1, p2)))
+    agg = scan2(vol) + jnp.swapaxes(scan2(volT), 0, 1)
+    if ndir == 8:
+        agg = agg + _diag_paths_full(vol, p1, p2)
     return agg
+
+
+def _diag_paths_full(vol: jnp.ndarray, p1: float, p2: float,
+                     unroll: int = 8) -> jnp.ndarray:
+    """Exact (unblocked) sum of the 4 diagonal path costs: one scan over
+    rows with a (2 shift-dirs, 2 scan-dirs, W, D) stacked carry using the
+    shifted `_sgm_step` recurrence."""
+    S = vol.shape[0]
+    both = jnp.stack([vol, vol[::-1]], axis=1)               # (S, 2, W, D)
+
+    def step(carry, c):
+        o_plus = _sgm_step(carry[0], c, p1, p2, shift=1)
+        o_minus = _sgm_step(carry[1], c, p1, p2, shift=-1)
+        return (o_plus, o_minus), (o_plus, o_minus)
+
+    init = (both[0], both[0])
+    _, (rp, rm) = jax.lax.scan(step, init, both[1:], unroll=unroll)
+    pp = jnp.concatenate([init[0][None], rp], axis=0)        # (S, 2, W, D)
+    pm = jnp.concatenate([init[1][None], rm], axis=0)
+    # components: [:,0]=top-down scan, [:,1]=bottom-up scan (flipped rows)
+    return (pp[:, 0] + pp[::-1, 1]) + (pm[:, 0] + pm[::-1, 1])
 
 
 def _wta_subpixel(agg: jnp.ndarray, cfg: SgbmConfig
@@ -330,10 +391,11 @@ def _speckle_filter(disp: jnp.ndarray, valid: jnp.ndarray,
         return nv & (jnp.abs(disp - nd) <= rng)
 
     same = (conn(0, 1), conn(0, -1), conn(1, 1), conn(1, -1))
-    # run-min hooks converge realistic speckle fields in 3 sweeps (each
-    # hook reaches across whole row/column runs, so reach grows
-    # geometrically); the pointer-jump gathers are the dominant cost here
-    lbl = connected_components(valid, same, sweeps=3)
+    # each run-min hook reaches across whole row/column runs and pointer
+    # jumping compounds the reach geometrically; 4 sweeps converge even a
+    # 20-run serpentine (test_speckle_serpentine_component_survives — 3
+    # sweeps split it into 7 pieces and would invalidate good disparities)
+    lbl = connected_components(valid, same, sweeps=cfg.speckle_cc_sweeps)
     sizes = jnp.zeros(H * W, jnp.int32).at[lbl.reshape(-1)].add(
         valid.reshape(-1).astype(jnp.int32))
     comp_size = sizes[lbl]

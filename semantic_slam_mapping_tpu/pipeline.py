@@ -73,7 +73,7 @@ class SlamSystem:
                  seed: int = 0, enable_mapping: bool = False):
         self.cfg = cfg
         self.K = Intrinsics.from_config(cfg.camera)
-        self.state = tracker.TrackerState.initial()
+        self.state = tracker.TrackerState.initial(cfg)
         self.key = jax.random.PRNGKey(seed)
         self.vocab = vocab
         self.keyframes: List[Keyframe] = []
@@ -566,16 +566,28 @@ class SlamSystem:
     def _update_map(self, kf: Keyframe, out):
         """The mapper thread's update policy (mapper.cpp:121-149): every
         Nth update a full rebuild from every 2nd keyframe (poses may have
-        been rewritten by optimization), else insert the new keyframe."""
+        been rewritten by optimization), else an incremental update over
+        the last `incremental_window` keyframes (the reference's last-5
+        loop, mapper.cpp:132-136) — as an accumulator map this inserts any
+        of those not yet mapped (e.g. after a resume) plus the new one."""
         cfg = self.cfg.mapper
         self._map_updates += 1
         if self._map_updates % cfg.full_rebuild_every == 0 and \
                 hasattr(self.map, "clear"):
             self.map.clear()
+            self._mapped_ids = set()
             for k in self.keyframes[::cfg.full_rebuild_stride]:
                 self.map.insert_cloud(self._kf_cloud(k))
+                self._mapped_ids.add(k.kf_id)
         else:
-            self.map.insert_cloud(self._kf_cloud(kf, out.moving_mask))
+            if not hasattr(self, "_mapped_ids"):
+                self._mapped_ids = set()
+            for k in self.keyframes[-cfg.incremental_window:]:
+                if k.kf_id in self._mapped_ids:
+                    continue
+                mask = out.moving_mask if k.kf_id == kf.kf_id else None
+                self.map.insert_cloud(self._kf_cloud(k, mask))
+                self._mapped_ids.add(k.kf_id)
         log.info("map: %d voxels after update %d", len(self.map),
                  self._map_updates)
 

@@ -95,3 +95,33 @@ def test_global_map_accumulate_and_pcd(tmp_path):
     gm.save_pcd(str(tmp_path / "map_ascii.pcd"), binary=False)
     lines = (tmp_path / "map_ascii.pcd").read_text().splitlines()
     assert len(lines) == 11 + n1
+
+
+def test_motion_overlay_fuse_thresholds():
+    """The mapper motion-overlay knobs (parameters.txt:101-102) must be
+    live: a large semantic-motion component survives only when the U-V
+    motion mask covers enough of it; when nothing passes, the semantic
+    mask is kept unchanged (reference fallback, mapper.cpp:266-271)."""
+    import jax.numpy as jnp
+    from semantic_slam_mapping_tpu.config import MapperConfig
+    from semantic_slam_mapping_tpu.mapping.mapper import motion_overlay_fuse
+
+    sem = np.zeros((60, 80), bool)
+    sem[10:40, 10:50] = True            # big component (1200 px)
+    sem[50:54, 60:64] = True            # small component (16 px)
+    uv = np.zeros((60, 80), bool)
+    uv[10:40, 10:30] = True             # covers half the big component
+
+    cfg = MapperConfig(motion_area_threshold=1000,
+                       motion_overlay_portion_threshold=0.3)
+    out = np.asarray(motion_overlay_fuse(jnp.asarray(sem), jnp.asarray(uv),
+                                         cfg))
+    assert out[10:40, 10:50].all()      # big + covered -> survives
+    assert not out[50:54, 60:64].any()  # small -> dropped once one passes
+
+    # portion too low -> nothing passes -> unchanged semantic mask
+    cfg2 = MapperConfig(motion_area_threshold=1000,
+                        motion_overlay_portion_threshold=0.9)
+    out2 = np.asarray(motion_overlay_fuse(jnp.asarray(sem), jnp.asarray(uv),
+                                          cfg2))
+    np.testing.assert_array_equal(out2, sem)
