@@ -38,11 +38,12 @@ def _sep_filter(img: jnp.ndarray, kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray
     rx = len(kx) // 2
     ry = len(ky) // 2
     x = jnp.pad(x, ((0, 0), (0, 0), (ry, ry), (rx, rx)), mode="reflect")
-    kh = jnp.asarray(ky, img.dtype).reshape(1, 1, -1, 1)
-    kw = jnp.asarray(kx, img.dtype).reshape(1, 1, 1, -1)
     # accumulate in f32 regardless of input dtype: an 11-tap window sum of
     # O(100) bf16 terms would otherwise accrue a few units of rounding on
-    # backends that accumulate in the input dtype
+    # backends that accumulate in the input dtype (first conv reads the
+    # input in its native dtype, so bf16 inputs still stream at half rate)
+    kh = jnp.asarray(ky, img.dtype).reshape(1, 1, -1, 1)
+    kw = jnp.asarray(kx, jnp.float32).reshape(1, 1, 1, -1)
     x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
                                      preferred_element_type=jnp.float32)
     x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
