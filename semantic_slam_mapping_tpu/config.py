@@ -250,6 +250,9 @@ class LooperConfig:
     branching: int = 10
     depth: int = 6
     scoring_level: int = 4
+    # sparse-BoW slot budget per keyframe (0 = one slot per feature,
+    # lossless); memory per keyframe = 8 bytes * budget
+    bow_budget: int = 0
 
 
 @dataclass(frozen=True)

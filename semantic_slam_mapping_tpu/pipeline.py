@@ -54,7 +54,8 @@ class Keyframe:
     kf_id: int
     frame_index: int
     pose: np.ndarray              # (4, 4) T_w_c
-    bow: np.ndarray               # (n_leaves,)
+    bow_idx: np.ndarray           # (B,) sorted word ids (sparse BoW)
+    bow_w: np.ndarray             # (B,) tf-idf weights
     feat_xy: np.ndarray           # (N, 2)
     feat_desc: np.ndarray         # (N, 256) uint8
     feat_xyz: np.ndarray          # (N, 3) camera-frame 3D (from disparity)
@@ -221,7 +222,11 @@ class SlamSystem:
             log.warning("keyframe budget exhausted; dropping keyframe")
             return
         feats, xyz, feat_valid = self._extract_features(left, out.disparity)
-        bow = (lp.transform(self.vocab, feats.desc, feats.valid)
+        # sparse BoW at the configured scoring level (DBoW2-scale: memory
+        # per keyframe is O(features), independent of vocabulary size)
+        bow = (lp.transform_sparse(self.vocab, feats.desc, feats.valid,
+                                   cfg.looper.scoring_level,
+                                   budget=cfg.looper.bow_budget)
                if self.vocab is not None else None)
 
         if semantic is None and self._segnet is not None:
@@ -230,7 +235,8 @@ class SlamSystem:
         kf = Keyframe(
             kf_id=kf_id, frame_index=self.frame_count - 1,
             pose=np.asarray(out.pose),
-            bow=np.asarray(bow) if bow is not None else None,
+            bow_idx=np.asarray(bow.idx) if bow is not None else None,
+            bow_w=np.asarray(bow.w) if bow is not None else None,
             feat_xy=np.asarray(feats.xy),
             feat_desc=np.asarray(feats.desc),
             feat_xyz=np.asarray(xyz),
@@ -392,13 +398,14 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def _try_loops(self, kf: Keyframe):
         cfg = self.cfg.looper
-        db = np.stack([k.bow for k in self.keyframes[:-1]]) \
-            if len(self.keyframes) > 1 else None
-        if db is None:
+        if len(self.keyframes) <= 1:
             return
+        db_idx = np.stack([k.bow_idx for k in self.keyframes[:-1]])
+        db_w = np.stack([k.bow_w for k in self.keyframes[:-1]])
         ids = np.array([k.frame_index for k in self.keyframes[:-1]])
-        scores, mask = lp.get_possible_loops(
-            jnp.asarray(kf.bow), jnp.asarray(db), jnp.asarray(ids),
+        scores, mask = lp.get_possible_loops_sparse(
+            lp.SparseBow(jnp.asarray(kf.bow_idx), jnp.asarray(kf.bow_w)),
+            jnp.asarray(db_idx), jnp.asarray(db_w), jnp.asarray(ids),
             jnp.ones(len(ids), bool), jnp.int32(kf.frame_index),
             cfg.min_sim_score, cfg.min_interval)
         cand = [self.keyframes[int(i)] for i in np.nonzero(np.asarray(mask))[0]]
