@@ -37,6 +37,21 @@ OK = 1
 LOST = 2
 
 
+def _velocity_flow_prior(velocity: jnp.ndarray, K: Intrinsics,
+                         cfg: SlamConfig) -> jnp.ndarray:
+    """Constant-velocity temporal KLT seeding (the reference's motion
+    prediction role, track.cpp:41): expected image flow of a mid-depth
+    point at the principal ray under the previous inter-frame motion.
+    Seeds the lc->lp legs so large inter-frame flows start near the
+    solution instead of at zero. Identity velocity -> zero prior."""
+    from semantic_slam_mapping_tpu.geometry.camera import project
+    z_nom = jnp.asarray(0.5 * cfg.camera.roiz, jnp.float32)
+    Xc = jnp.array([[0.0, 0.0, 1.0]]) * z_nom
+    # velocity maps prev-cam -> cur-cam; the temporal legs track cur -> prev
+    Xp = se3.transform_points(se3.inverse(velocity), Xc)
+    return project(K, Xp)[0] - jnp.array([K.cx, K.cy])
+
+
 class TrackerState(NamedTuple):
     status: jnp.ndarray        # int32 scalar
     pose: jnp.ndarray          # (4, 4) T_w_c camera-to-world
@@ -80,12 +95,13 @@ def track_frame(state: TrackerState,
     sg = sgbm.compute(cur_left, cur_right, cfg.sgbm)
     disparity = jnp.where(sg.valid, sg.disparity, 0.0)
 
-    # ---- quad matching seeded by disparity ----
+    # ---- quad matching seeded by disparity + constant-velocity flow ----
     m = quadmatch.quad_match(
         cur_left=cur_left, cur_right=cur_right,
         prev_left=prev_left, prev_right=prev_right,
         qcfg=cfg.quadmatch, gcfg=cfg.gftt, kcfg=cfg.klt,
-        cur_disparity=disparity)
+        cur_disparity=disparity,
+        flow_prior=_velocity_flow_prior(state.velocity, K, cfg))
 
     # ---- RANSAC + GN motion ----
     res = vo.estimate_motion(m, K, key, cfg.vo)
@@ -165,10 +181,15 @@ def track_frames_batched(state: TrackerState,
     sg = jax.vmap(lambda l, r: sgbm.compute(l, r, cfg.sgbm))(cur_l, cur_r)
     disparity = jnp.where(sg.valid, sg.disparity, 0.0)
 
+    # constant-velocity flow prior from the window-entry velocity (the
+    # per-frame velocities are only known after the scan; a window-stale
+    # seed still recovers large flows)
+    fp = _velocity_flow_prior(state.velocity, K, cfg)
     m = jax.vmap(lambda cl, cr, pl, pr, d: quadmatch.quad_match(
         cur_left=cl, cur_right=cr, prev_left=pl, prev_right=pr,
         qcfg=cfg.quadmatch, gcfg=cfg.gftt, kcfg=cfg.klt,
-        cur_disparity=d))(cur_l, cur_r, prev_l, prev_r, disparity)
+        cur_disparity=d, flow_prior=fp))(
+            cur_l, cur_r, prev_l, prev_r, disparity)
 
     keys = jax.random.split(key, B)
     res = jax.vmap(lambda mm, k: vo.estimate_motion(mm, K, k, cfg.vo))(

@@ -351,6 +351,18 @@ class SlamSystem:
             ref = refs[i]
             T_rel = T_rels[i]
             T_odo = np.linalg.inv(ref.pose) @ kf.pose
+            # DELIBERATE DEVIATION from the reference's trigger statistic:
+            # the reference accumulates each new edge's g2o chi2 against the
+            # CURRENT vertex estimates (pose_graph.cpp:164-178), which is
+            # the same residual the optimizer itself would report. Here the
+            # equivalent quantity is computed directly — the se3-log
+            # discrepancy between the edge measurement (viso re-measure)
+            # and the current odometry-chain relative pose, weighted by the
+            # edge information. For odometry/nearby edges the current
+            # estimates ARE the odometry chain, so the two statistics agree
+            # (test_chi2_trigger_parity); they diverge only transiently
+            # after an optimization rewrites vertices, where both reset
+            # their accumulators anyway (:239-296).
             r = np.asarray(se3.log(jnp.asarray(
                 (np.linalg.inv(T_rel) @ T_odo).astype(np.float32))))
             chi2 = float(self.cfg.pose_graph.information_weight * (r @ r))
@@ -430,8 +442,10 @@ class SlamSystem:
             g = to_device()
             g = pg.optimize(g, pg.global_free_mask(g), cfg,
                             iters=cfg.global_iters)
+            # np.array (not asarray): a zero-copy view of a jax buffer
+            # is read-only; graph storage must stay host-mutable.
             self.graph = self.graph._replace(
-                poses=np.asarray(g.poses, np.float32))
+                poses=np.array(g.poses, np.float32))
             self.loop_error = 0.0
             self.local_error = 0.0
             did = True
@@ -441,7 +455,7 @@ class SlamSystem:
             mask = pg.local_free_mask(g, jnp.int32(n), cfg.local_window)
             g = pg.optimize(g, mask, cfg, iters=5)
             self.graph = self.graph._replace(
-                poses=np.asarray(g.poses, np.float32))
+                poses=np.array(g.poses, np.float32))
             self.local_error = 0.0
             did = True
             log.info("local optimization (last %d of %d keyframes)",

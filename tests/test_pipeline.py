@@ -128,3 +128,42 @@ def test_lost_recovery_bounded_ate(seq_and_vocab):
                                                   N_FRAMES))
     ate = metrics.absolute_trajectory_error(traj[sighted], gt[sighted])
     assert ate.rmse < 1.0, ate
+
+
+def test_chi2_trigger_parity(seq_and_vocab):
+    """Weak item r1 #6: the pipeline accumulates each new edge's error as
+    the se3-log discrepancy between measurement and odometry chain at
+    insertion time; the reference accumulates the g2o edge chi2 against
+    current vertex estimates (pose_graph.cpp:164-178). For the freshly
+    inserted edges (vertex estimates == odometry chain) the two statistics
+    must agree."""
+    from semantic_slam_mapping_tpu.backend import pose_graph as pg
+    import jax.numpy as jnp
+
+    seq, vocab = seq_and_vocab
+    sys_ = SlamSystem(CFG, vocab=None)
+    for i in range(N_FRAMES):
+        sys_.process_frame(seq["left"][i], seq["right"][i])
+        if len(sys_.keyframes) >= 4:
+            break
+    assert len(sys_.keyframes) >= 4
+
+    # force one nearby edge and capture the chi2 the pipeline accumulates
+    # for it (closest pair that still passes the PnP/viso gate on this
+    # small scene; the parity property is independent of the gap)
+    before_edges = sys_.n_edges
+    added = 0
+    for back in (-3, -2):
+        before_err = sys_.local_error
+        added = sys_._try_edges_batched([sys_.keyframes[back]],
+                                        sys_.keyframes[-1], is_loop=False)
+        if added:
+            break
+    assert added == 1, "PnP/viso gate rejected the test edge"
+    accumulated = sys_.local_error - before_err
+
+    # the g2o statistic: this edge's chi2 against current vertex estimates
+    g = jax.tree_util.tree_map(jnp.asarray, sys_.graph)
+    want = float(np.asarray(pg.edge_chi2(g))[before_edges])
+    assert abs(accumulated - want) < 0.05 * max(want, 1e-6) + 1e-6, \
+        (accumulated, want)

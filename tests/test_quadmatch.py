@@ -100,3 +100,41 @@ def test_epipolar_gate_active(stereo_seq):
         cur_left=seq["left"][1], cur_right=seq["right"][1],
         prev_left=seq["left"][0], prev_right=seq["right"][0])
     assert int(m.valid.sum()) < int(good.valid.sum()) * 0.3
+
+
+def test_flow_prior_recovers_large_motion():
+    """Weak item r1 #8: the constant-velocity flow prior (track.cpp:41
+    seeding) must be live — on a large inter-frame motion the seeded
+    temporal KLT legs recover matches the unseeded tracker loses."""
+    from semantic_slam_mapping_tpu.config import GfttConfig
+
+    K = Intrinsics.from_config(CameraConfig(
+        fx=300.0, fy=300.0, cx=W / 2, cy=H / 2, baseline=0.54))
+    world = synthetic.make_world(jax.random.PRNGKey(21), n_boxes=10)
+    # strong yaw: large, roughly uniform horizontal flow
+    T0 = se3.identity()
+    T1 = se3.compose(T0, se3.exp(jnp.array([0.0, 0.0, 0.4, 0.0, 0.12, 0.0])))
+    prev_l, _, _, _ = synthetic.render(K, T0, world, H, W)
+    prev_r, _, _, _ = synthetic.render(
+        K, synthetic.right_camera_pose(T0, K.baseline), world, H, W)
+    cur_l, _, _, _ = synthetic.render(K, T1, world, H, W)
+    cur_r, _, _, _ = synthetic.render(
+        K, synthetic.right_camera_pose(T1, K.baseline), world, H, W)
+
+    # true mean flow cur->prev of a mid-depth central point
+    from semantic_slam_mapping_tpu.geometry.camera import project
+    Xc = jnp.array([[0.0, 0.0, 20.0]])
+    Xp = se3.transform_points(
+        se3.compose(se3.inverse(T0), T1), Xc)  # cur-cam point in prev-cam
+    prior = project(K, Xp)[0] - jnp.array([K.cx, K.cy])
+    assert float(jnp.abs(prior[0])) > 25.0  # genuinely large flow
+
+    kw = dict(cur_left=cur_l, cur_right=cur_r,
+              prev_left=prev_l, prev_right=prev_r,
+              qcfg=QuadMatchConfig(max_features=256),
+              gcfg=GfttConfig(), kcfg=KltConfig())
+    m_without = quadmatch.quad_match(**kw)
+    m_with = quadmatch.quad_match(**kw, flow_prior=prior)
+    n_without = int(m_without.valid.sum())
+    n_with = int(m_with.valid.sum())
+    assert n_with > max(n_without, 10), (n_with, n_without)
