@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Golden "KITTI-statistics" sequence (VERDICT r1 item 10).
+
+A 500-frame loop circuit standing in for the reference's KITTI operating
+sequences (/root/reference/parameters.txt:2-13): textured procedural world,
+occluding structure inside and outside the corridor, independently moving
+vehicles AND crossing pedestrians, sinusoidal platform pitch (exercising the
+pitch-KF correction loop), and a genuine revisit — ``laps`` > 1 drives the
+camera back through the start region *mid-run*, so BoW loop closure and the
+chi2-triggered global optimization fire while tracking continues, not only
+at ``finish()``.
+
+Publishes ATE/RPE + loop/optimization counters to GOLDEN_r{N}.json and
+appends a per-round row to docs/GOLDEN.md. Run on the real TPU:
+
+    python golden.py [--frames 500] [--round 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+
+H, W = 376, 1248
+RADIUS = 30.0
+LAPS = 1.25
+N_MOVING = 6
+N_BOXES = 48
+PITCH_AMP = 0.006
+RENDER_CHUNK = 50
+VOCAB_STRIDE = 12
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--round", type=int, default=0,
+                    help="round number for the GOLDEN_r{N}.json artifact")
+    ap.add_argument("--no-mapping", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(REPO / ".jax_cache", exist_ok=True)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from semantic_slam_mapping_tpu.backend import looper as lp
+    from semantic_slam_mapping_tpu.config import default_config
+    from semantic_slam_mapping_tpu.geometry.camera import Intrinsics
+    from semantic_slam_mapping_tpu.io import synthetic
+    from semantic_slam_mapping_tpu.ops import orb as orb_mod
+    from semantic_slam_mapping_tpu.pipeline import SlamSystem
+    from semantic_slam_mapping_tpu.utils import metrics
+
+    cfg = default_config()
+    K = Intrinsics.from_config(cfg.camera)
+    F = args.frames
+
+    print(f"rendering {F} frames at {H}x{W} on {jax.devices()[0].platform}",
+          flush=True)
+    world = synthetic.make_loop_world(jax.random.PRNGKey(7), n_boxes=N_BOXES,
+                                      radius=RADIUS, n_moving=N_MOVING)
+    poses = synthetic.loop_trajectory(F, radius=RADIUS, laps=LAPS,
+                                      pitch_amp=PITCH_AMP)
+    # start_index is a traced scalar: one compile serves every chunk
+    render = jax.jit(lambda p, i: synthetic.render_sequence(
+        K, world, p, H, W, start_index=i))
+    chunks = []
+    t0 = time.time()
+    for s in range(0, F, RENDER_CHUNK):
+        c = render(poses[s:s + RENDER_CHUNK], s)
+        chunks.append({k: np.asarray(v, np.float16)
+                       if k in ("left", "right") else np.asarray(v)
+                       for k, v in c.items() if k != "depth"})
+    left = np.concatenate([c["left"] for c in chunks])
+    right = np.concatenate([c["right"] for c in chunks])
+    sem = np.concatenate([c["semantic"] for c in chunks])
+    gt = np.asarray(poses)
+    del chunks
+    print(f"rendered in {time.time() - t0:.1f}s", flush=True)
+
+    # vocabulary from the sequence itself (the make-vocab offline role)
+    t0 = time.time()
+    extract = jax.jit(lambda im: orb_mod.extract(im, cfg.orb))
+    descs = []
+    for i in range(0, F, VOCAB_STRIDE):
+        f = extract(jnp.asarray(left[i], jnp.float32))
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    vocab = lp.build_vocabulary(np.concatenate(descs), branching=10, depth=4)
+    print(f"vocab: {vocab.n_leaves} leaves in {time.time() - t0:.1f}s",
+          flush=True)
+
+    system = SlamSystem(cfg, vocab=vocab,
+                        enable_mapping=not args.no_mapping)
+    grey3 = None
+    t0 = time.time()
+    mid_run_global = None
+    for i in range(F):
+        li = jnp.asarray(left[i], jnp.float32)
+        if not args.no_mapping:
+            g = (np.clip(left[i].astype(np.float32), 0, 1)
+                 * 255).astype(np.uint8)
+            grey3 = np.stack([g, g, g], -1)
+        system.process_frame(li, jnp.asarray(right[i], jnp.float32),
+                             color=grey3, semantic=sem[i])
+        if system.n_global_optimizations > 0 and mid_run_global is None:
+            mid_run_global = i
+        if (i + 1) % 100 == 0:
+            print(f"frame {i + 1}/{F}: kf={len(system.keyframes)} "
+                  f"loops={system.n_loop_edges} "
+                  f"opt={system.n_optimizations} "
+                  f"({(i + 1) / (time.time() - t0):.2f} fps)", flush=True)
+    traj = np.stack(system.finish())
+    wall = time.time() - t0
+
+    ate = metrics.absolute_trajectory_error(traj, gt)
+    rpe_t, rpe_r = metrics.relative_pose_error(traj, gt)
+    rec = {
+        "sequence": f"golden-loop r={RADIUS} laps={LAPS} "
+                    f"moving={N_MOVING} pitch={PITCH_AMP}",
+        "frames": F,
+        "resolution": [H, W],
+        "ate_rmse_m": round(float(ate.rmse), 4),
+        "ate_mean_m": round(float(ate.mean), 4),
+        "rpe_trans_rmse_m": round(float(rpe_t.rmse), 4),
+        "rpe_rot_rmse_deg": round(float(np.degrees(rpe_r.rmse)), 4),
+        "keyframes": len(system.keyframes),
+        "loop_edges": system.n_loop_edges,
+        "global_optimizations": system.n_global_optimizations,
+        "local_optimizations": system.n_local_optimizations,
+        "first_global_opt_frame": mid_run_global,
+        "mid_run_revisit_closed": bool(
+            mid_run_global is not None and mid_run_global < 0.95 * F),
+        "recoveries": system.n_recoveries,
+        "map_voxels": len(system.map) if system.map is not None else None,
+        "fps": round(F / wall, 3),
+        "device": jax.devices()[0].platform,
+    }
+    out = REPO / (f"GOLDEN_r{args.round:02d}.json" if args.round
+                  else "GOLDEN.json")
+    out.write_text(json.dumps(rec, indent=2) + "\n")
+    print(json.dumps(rec))
+
+    md = REPO / "docs" / "GOLDEN.md"
+    if not md.exists():
+        md.write_text(
+            "# Golden-sequence tracking (per round)\n\n"
+            "500-frame loop circuit with moving vehicles/pedestrians and a "
+            "mid-run revisit (golden.py; VERDICT r1 item 10).\n\n"
+            "| round | frames | ATE rmse (m) | RPE trans (m) | RPE rot "
+            "(deg) | loop edges | global opts | mid-run closure | fps | "
+            "device |\n|---|---|---|---|---|---|---|---|---|---|\n")
+    with open(md, "a") as f:
+        f.write(f"| r{args.round} | {F} | {rec['ate_rmse_m']} | "
+                f"{rec['rpe_trans_rmse_m']} | {rec['rpe_rot_rmse_deg']} | "
+                f"{rec['loop_edges']} | {rec['global_optimizations']} | "
+                f"{rec['mid_run_revisit_closed']} | {rec['fps']} | "
+                f"{rec['device']} |\n")
+
+
+if __name__ == "__main__":
+    main()

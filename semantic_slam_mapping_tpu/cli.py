@@ -54,6 +54,16 @@ def cmd_slam(args):
     from semantic_slam_mapping_tpu.utils.timing import StageTimer
 
     cfg = _load_cfg(args)
+    if getattr(args, "segnet_online", False):
+        # online in-pipeline segmentation, defaulting to the shipped
+        # synthetic-world checkpoint (models/weights/segnet.pkl, trained by
+        # `cli train-segnet`; holdout mIoU recorded in its metadata)
+        import dataclasses
+        weights = args.segnet_weights or str(
+            Path(__file__).parent / "models" / "weights" / "segnet.pkl")
+        cfg = dataclasses.replace(cfg, segnet=dataclasses.replace(
+            cfg.segnet, online=True,
+            weights=weights if Path(weights).exists() else None))
     reader = KittiReader(args.data or cfg.dataset.data_source,
                          start_index=cfg.dataset.start_index,
                          end_index=cfg.dataset.end_index,
@@ -387,19 +397,18 @@ def cmd_train_segnet(args):
     import jax
     import jax.numpy as jnp
     import optax
-    import pickle
 
     from semantic_slam_mapping_tpu.config import SegNetConfig, default_config
     from semantic_slam_mapping_tpu.geometry.camera import Intrinsics
     from semantic_slam_mapping_tpu.io import synthetic
     from semantic_slam_mapping_tpu.models import segnet
 
-    seg_cfg = SegNetConfig(input_height=args.size, input_width=args.size)
+    seg_cfg = SegNetConfig(input_height=args.size, input_width=args.size,
+                           width_mult=args.width)
     model, variables = segnet.create(seg_cfg)
     params, bs = variables["params"], variables["batch_stats"]
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
-    step = jax.jit(segnet.make_train_step(model, opt))
 
     if args.mesh:
         from semantic_slam_mapping_tpu.parallel import mesh as pmesh
@@ -418,8 +427,10 @@ def cmd_train_segnet(args):
     def make_batch(key):
         def one(k):
             k1, k2 = jax.random.split(k)
+            # vehicles AND pedestrians so every mapper-relevant class
+            # (semantics.MOTION_CLASSES) appears in the training data
             world = synthetic.make_world(k1, n_boxes=10,
-                                         with_moving_box=True)
+                                         with_moving_box=True, n_moving=9)
             import semantic_slam_mapping_tpu.geometry.se3 as se3
             pose = se3.exp(jax.random.normal(k2, (6,))
                            * jnp.array([0.5, 0.1, 0.5, 0.02, 0.05, 0.01]))
@@ -428,19 +439,41 @@ def cmd_train_segnet(args):
         keys = jax.random.split(key, args.batch)
         return jax.vmap(one)(keys)
 
+    # median-frequency class balancing from a label sample (the SegNet
+    # paper's CamVid recipe) — without it the ~0.05%-of-pixels Pedestrian
+    # class trains to zero recall
+    wkeys = jax.random.split(jax.random.PRNGKey(77), 4)
+    cw = segnet.median_frequency_weights(
+        [make_batch(k)[1] for k in wkeys], seg_cfg.num_classes)
+    print("class weights:", np.round(np.asarray(cw), 2), file=sys.stderr)
+    step = jax.jit(segnet.make_train_step(model, opt, class_weights=cw))
+
+    # fixed holdout set (disjoint RNG stream from the training batches)
+    hold_x, hold_y = jax.jit(make_batch)(jax.random.PRNGKey(9999))
+    infer = jax.jit(lambda p, b, x: jnp.argmax(model.apply(
+        {"params": p, "batch_stats": b}, x, train=False), -1))
+
+    def eval_miou(p, b):
+        pred = infer(p, b, hold_x)
+        return float(segnet.miou(pred, hold_y, seg_cfg.num_classes))
+
     key = jax.random.PRNGKey(0)
     for it in range(args.steps):
         key, k = jax.random.split(key)
         x, y = make_batch(k)
         params, bs, opt_state, loss = step(params, bs, opt_state, x, y)
-        if it % 10 == 0 or it == args.steps - 1:
-            print(f"step {it}: loss {float(loss):.4f}", file=sys.stderr)
+        if it % 25 == 0 or it == args.steps - 1:
+            print(f"step {it}: loss {float(loss):.4f} "
+                  f"holdout mIoU {eval_miou(params, bs):.3f}",
+                  file=sys.stderr, flush=True)
+    final_miou = eval_miou(params, bs)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    with open(out / "segnet.pkl", "wb") as f:
-        pickle.dump({"params": jax.device_get(params),
-                     "batch_stats": jax.device_get(bs)}, f)
-    print(f"saved {out / 'segnet.pkl'}")
+    segnet.save_checkpoint(
+        out / "segnet.pkl", seg_cfg, params, bs,
+        meta={"miou": final_miou, "steps": args.steps,
+              "train_size": args.size, "holdout_frames": int(args.batch)})
+    print(f"saved {out / 'segnet.pkl'} (holdout mIoU {final_miou:.3f})")
 
 
 def main(argv=None):
@@ -460,6 +493,10 @@ def main(argv=None):
     p = sub.add_parser("slam", parents=[common])
     p.add_argument("--vocab")
     p.add_argument("--semantic-dir")
+    p.add_argument("--segnet-online", action="store_true",
+                   help="segment keyframes in-pipeline with the shipped "
+                        "SegNet checkpoint (vs --semantic-dir pre-pass)")
+    p.add_argument("--segnet-weights", help="override checkpoint path")
     p.set_defaults(fn=cmd_slam)
 
     p = sub.add_parser("tracker", parents=[common])
@@ -478,6 +515,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--size", type=int, default=128)
+    p.add_argument("--width", type=float, default=1.0,
+                   help="channel width multiplier (slim checkpoints)")
     p.add_argument("--mesh", action="store_true",
                    help="shard training dp x tp over local devices")
     p.set_defaults(fn=cmd_train_segnet)

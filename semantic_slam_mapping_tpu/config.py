@@ -266,6 +266,13 @@ class SegNetConfig:
     dtype: str = "bfloat16"
     # class palette indices used by the mapper filters; see mapping/semantics.py
     online: bool = False              # online in-pipeline vs offline precompute
+    # channel width multiplier: 1.0 = the reference's full VGG16 SegNet; the
+    # shipped synthetic-world checkpoint trains a slim model (models/segnet.py)
+    width_mult: float = 1.0
+    # path to a trained pickle checkpoint (cli train-segnet); None = random
+    # init (only useful for topology tests). The slam CLI defaults this to
+    # the shipped weights when --segnet-online is set.
+    weights: Optional[str] = None
 
 
 @dataclass(frozen=True)

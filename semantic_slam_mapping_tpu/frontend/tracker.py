@@ -157,26 +157,30 @@ def track_frame(state: TrackerState,
     return new_state, out
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def track_frames_batched(state: TrackerState,
-                         lefts: jnp.ndarray, rights: jnp.ndarray,
-                         K: Intrinsics, key: jax.Array,
-                         cfg: SlamConfig) -> Tuple[TrackerState, FrameResult]:
-    """Throughput mode: process a window of B consecutive frames in one
-    program. All heavy per-frame stages (SGBM, quad matching, RANSAC VO,
-    U-V-disparity) are independent across frames and run under `vmap` —
-    batching them fills the chip where a single KITTI frame is latency/
-    bandwidth-bound — while the (cheap) pose-integration state machine
-    runs as a `lax.scan` over the VO results.
+def window_core(state: TrackerState,
+                cur_l: jnp.ndarray, cur_r: jnp.ndarray,
+                prev_l: jnp.ndarray, prev_r: jnp.ndarray,
+                K: Intrinsics, keys: jax.Array, cfg: SlamConfig,
+                axis_name: Optional[str] = None
+                ) -> Tuple[TrackerState, FrameResult]:
+    """Window frontend over B_local frame pairs (already split cur/prev).
 
-    lefts/rights: (B+1, H, W) frames; produces results for the B pairs
-    (i-1, i). This is the TPU answer to the reference's three-thread
-    latency hiding (SURVEY.md §2.3 pipeline-staging row): batch-level
-    parallelism inside one device program, deterministic by construction.
+    The single implementation behind both the single-device batched mode
+    and the multi-chip sharded mode (parallel/sharded_frontend.py): with
+    ``axis_name`` set, this runs inside `shard_map` on a (B/n)-pair local
+    shard; the heavy per-pair stages stay local while the two tiny
+    sequential recurrences (pitch Kalman, pose integration) run on
+    all-gathered per-pair scalars, replicated on every device — the
+    collective traffic is O(B) scalars + 4x4s, nothing image-sized.
     """
-    B = lefts.shape[0] - 1
-    cur_l, cur_r = lefts[1:], rights[1:]
-    prev_l, prev_r = lefts[:-1], rights[:-1]
+    B_local = cur_l.shape[0]
+    if axis_name is None:
+        gather = lambda x: x                          # noqa: E731
+        lo = 0
+    else:
+        gather = lambda x: jax.lax.all_gather(        # noqa: E731
+            x, axis_name, tiled=True)
+        lo = jax.lax.axis_index(axis_name) * B_local
 
     sg = jax.vmap(lambda l, r: sgbm.compute(l, r, cfg.sgbm))(cur_l, cur_r)
     disparity = jnp.where(sg.valid, sg.disparity, 0.0)
@@ -191,7 +195,6 @@ def track_frames_batched(state: TrackerState,
         cur_disparity=d, flow_prior=fp))(
             cur_l, cur_r, prev_l, prev_r, disparity)
 
-    keys = jax.random.split(key, B)
     res = jax.vmap(lambda mm, k: vo.estimate_motion(mm, K, k, cfg.vo))(
         m, keys)
 
@@ -213,11 +216,12 @@ def track_frames_batched(state: TrackerState,
         return kf2, kf2.x[0]
 
     kf_final, pitch_smooth = jax.lax.scan(kf_step, state.pitch_kf,
-                                          pitch_meas)
+                                          gather(pitch_meas))
+    pitch_local = jax.lax.dynamic_slice_in_dim(pitch_smooth, lo, B_local)
 
     pts_roi = jax.vmap(
         lambda p, ps: gstereo.correct_pitch(p, ps, cfg.camera).roi)(
-            pts, pitch_smooth)
+            pts, pitch_local)
     uv_res = jax.vmap(
         lambda d, v, roi, mm, inl, la, lb: uvd.detect_moving_objects(
             d, v, roi, mm.lc, mm.valid & inl, mm.lc, mm.valid & ~inl, K,
@@ -225,7 +229,8 @@ def track_frames_batched(state: TrackerState,
             line_ab=(la, lb)))(
         disparity, sg.valid, pts_roi, m, res.inliers, line_a, line_b)
 
-    # ---- sequential state machine over the B results (cheap) ----
+    # ---- sequential state machine over all B results (cheap; replicated
+    # on every device in sharded mode) ----
     def step(st: TrackerState, inp):
         T_delta, success = inp
         first = st.status == NOT_READY
@@ -245,7 +250,7 @@ def track_frames_batched(state: TrackerState,
 
     state, (poses, statuses) = jax.lax.scan(
         step, state._replace(pitch_kf=kf_final),
-        (res.T_delta, res.success))
+        (gather(res.T_delta), gather(res.success)))
 
     out = FrameResult(
         pose=poses, T_delta=res.T_delta, status=statuses,
@@ -253,6 +258,31 @@ def track_frames_batched(state: TrackerState,
         moving_mask=uv_res.moving_mask, disparity=disparity,
         matches=m, vo_success=res.success, pitch=uv_res.pitch)
     return state, out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def track_frames_batched(state: TrackerState,
+                         lefts: jnp.ndarray, rights: jnp.ndarray,
+                         K: Intrinsics, key: jax.Array,
+                         cfg: SlamConfig) -> Tuple[TrackerState, FrameResult]:
+    """Throughput mode: process a window of B consecutive frames in one
+    program. All heavy per-frame stages (SGBM, quad matching, RANSAC VO,
+    U-V-disparity) are independent across frames and run under `vmap` —
+    batching them fills the chip where a single KITTI frame is latency/
+    bandwidth-bound — while the (cheap) pose-integration state machine
+    runs as a `lax.scan` over the VO results.
+
+    lefts/rights: (B+1, H, W) frames; produces results for the B pairs
+    (i-1, i). This is the TPU answer to the reference's three-thread
+    latency hiding (SURVEY.md §2.3 pipeline-staging row): batch-level
+    parallelism inside one device program, deterministic by construction.
+    The multi-chip variant shards the pair axis over the mesh data axis
+    (parallel/sharded_frontend.py).
+    """
+    B = lefts.shape[0] - 1
+    keys = jax.random.split(key, B)
+    return window_core(state, lefts[1:], rights[1:],
+                       lefts[:-1], rights[:-1], K, keys, cfg)
 
 
 def adjust(state: TrackerState, new_pose: jnp.ndarray) -> TrackerState:

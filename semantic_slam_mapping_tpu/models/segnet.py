@@ -19,7 +19,7 @@ topology match, weights are trained or loaded from an orbax checkpoint).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -68,10 +68,18 @@ class ConvBNRelu(nn.Module):
 
 
 class SegNet(nn.Module):
-    """SegNet-VGG16 with pooling-index unpooling."""
+    """SegNet-VGG16 with pooling-index unpooling.
+
+    ``width_mult`` scales every block's channel count (rounded to a multiple
+    of 8 for TPU lane alignment); 1.0 is the reference topology, the shipped
+    synthetic-world checkpoint uses a slim model that fits in the repo."""
 
     num_classes: int = 12
     dtype: Any = jnp.bfloat16
+    width_mult: float = 1.0
+
+    def _ch(self, ch: int) -> int:
+        return max(8, int(round(ch * self.width_mult / 8)) * 8)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -80,7 +88,7 @@ class SegNet(nn.Module):
         indices = []
         for n_convs, ch in _BLOCKS:
             for _ in range(n_convs):
-                x = ConvBNRelu(ch, self.dtype)(x, train)
+                x = ConvBNRelu(self._ch(ch), self.dtype)(x, train)
             x, idx = max_pool_with_indices(x)
             indices.append(idx)
         for bi, (n_convs, ch) in enumerate(reversed(_BLOCKS)):
@@ -91,7 +99,7 @@ class SegNet(nn.Module):
                 bi < len(_BLOCKS) - 1 else _BLOCKS[0][1]
             for ci in range(n_convs):
                 out_ch = ch if ci < n_convs - 1 else next_ch
-                x = ConvBNRelu(out_ch, self.dtype)(x, train)
+                x = ConvBNRelu(self._ch(out_ch), self.dtype)(x, train)
         logits = nn.Conv(self.num_classes, (3, 3), padding="SAME",
                          dtype=self.dtype, param_dtype=jnp.float32)(x)
         return logits.astype(jnp.float32)
@@ -101,7 +109,8 @@ def create(cfg: SegNetConfig = SegNetConfig(), seed: int = 0):
     """Initialize model + params for the configured input size."""
     model = SegNet(num_classes=cfg.num_classes,
                    dtype=jnp.bfloat16 if cfg.dtype == "bfloat16"
-                   else jnp.float32)
+                   else jnp.float32,
+                   width_mult=cfg.width_mult)
     # input padded to /32: 360x480 -> 384x480 (the reference resizes KITTI
     # frames to 480x360 before inference, experiment/segnet.cpp:58)
     h = -(-cfg.input_height // 32) * 32
@@ -120,30 +129,97 @@ def infer(model: SegNet, variables, images: jnp.ndarray) -> jnp.ndarray:
 
 
 def loss_fn(model: SegNet, params, batch_stats, images, labels,
-            label_valid=None):
-    """Per-pixel cross-entropy; returns (loss, new_batch_stats)."""
+            label_valid=None, class_weights=None):
+    """Per-pixel cross-entropy; returns (loss, new_batch_stats).
+
+    ``class_weights`` (num_classes,) applies per-class pixel weights —
+    median-frequency balancing (the SegNet paper's CamVid recipe) keeps
+    rare-but-critical classes (Pedestrian) from being drowned out by
+    road/building pixels."""
     logits, updates = model.apply(
         {"params": params, "batch_stats": batch_stats}, images, train=True,
         mutable=["batch_stats"])
     logp = jax.nn.log_softmax(logits, axis=-1)
     onehot = jax.nn.one_hot(labels, model.num_classes)
     ll = jnp.sum(onehot * logp, axis=-1)
+    pix_w = (class_weights[labels] if class_weights is not None
+             else jnp.ones_like(ll))
     if label_valid is not None:
-        ll = jnp.where(label_valid, ll, 0.0)
-        denom = jnp.maximum(jnp.sum(label_valid), 1)
-    else:
-        denom = ll.size
-    return -jnp.sum(ll) / denom, updates["batch_stats"]
+        pix_w = jnp.where(label_valid, pix_w, 0.0)
+    denom = jnp.maximum(jnp.sum(pix_w), 1e-6)
+    return -jnp.sum(pix_w * ll) / denom, updates["batch_stats"]
 
 
-def make_train_step(model: SegNet, optimizer):
+def median_frequency_weights(label_batches, num_classes: int) -> jnp.ndarray:
+    """Median-frequency balancing weights (Badrinarayanan et al. 2015):
+    w_c = median(freq) / freq_c over classes that appear; absent classes
+    get weight 1."""
+    import numpy as np
+    counts = np.zeros(num_classes, np.int64)
+    for y in label_batches:
+        counts += np.bincount(np.asarray(y).ravel(), minlength=num_classes)
+    freq = counts / max(counts.sum(), 1)
+    present = freq > 0
+    med = np.median(freq[present])
+    w = np.where(present, med / np.maximum(freq, 1e-12), 1.0)
+    return jnp.asarray(w, jnp.float32)
+
+
+def miou(pred: jnp.ndarray, gt: jnp.ndarray, num_classes: int,
+         valid=None) -> jnp.ndarray:
+    """Mean intersection-over-union over the classes present in ``gt``
+    (the standard CamVid/SegNet quality metric; the reference reports no
+    number for its Caffe weights — this framework measures its own)."""
+    if valid is None:
+        valid = jnp.ones(pred.shape, bool)
+    p = jax.nn.one_hot(pred, num_classes) * valid[..., None]
+    g = jax.nn.one_hot(gt, num_classes) * valid[..., None]
+    axes = tuple(range(pred.ndim))
+    inter = jnp.sum(p * g, axis=axes)
+    union = jnp.sum(p, axis=axes) + jnp.sum(g, axis=axes) - inter
+    present = jnp.sum(g, axis=axes) > 0
+    iou = jnp.where(present, inter / jnp.maximum(union, 1.0), 0.0)
+    return jnp.sum(iou) / jnp.maximum(jnp.sum(present), 1)
+
+
+def save_checkpoint(path, cfg: SegNetConfig, params, batch_stats,
+                    meta: Optional[dict] = None) -> None:
+    """Pickle params + batch_stats + enough config to rebuild the model."""
+    import pickle
+    with open(path, "wb") as f:
+        pickle.dump({
+            "params": jax.device_get(params),
+            "batch_stats": jax.device_get(batch_stats),
+            "num_classes": cfg.num_classes,
+            "width_mult": cfg.width_mult,
+            "dtype": cfg.dtype,
+            "meta": meta or {},
+        }, f)
+
+
+def load_checkpoint(path):
+    """Returns (model, variables, meta) from a save_checkpoint pickle."""
+    import pickle
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    model = SegNet(num_classes=d.get("num_classes", 12),
+                   dtype=jnp.bfloat16 if d.get("dtype",
+                                               "bfloat16") == "bfloat16"
+                   else jnp.float32,
+                   width_mult=d.get("width_mult", 1.0))
+    variables = {"params": d["params"], "batch_stats": d["batch_stats"]}
+    return model, variables, d.get("meta", {})
+
+
+def make_train_step(model: SegNet, optimizer, class_weights=None):
     """Returns a jittable train step (images, labels) -> loss, new state.
     The multi-chip sharded variant lives in parallel/ (dp over batch, tp
     over feature channels)."""
 
     def step(params, batch_stats, opt_state, images, labels):
         (loss, new_bs), grads = jax.value_and_grad(
-            lambda p: loss_fn(model, p, batch_stats, images, labels),
+            lambda p: loss_fn(model, p, batch_stats, images, labels,
+                              class_weights=class_weights),
             has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         import optax

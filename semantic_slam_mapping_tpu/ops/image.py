@@ -90,6 +90,13 @@ def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(img, out_shape, method="bilinear")
 
 
+def resize_nearest(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbor resize of (..., H, W) — for label/class-id images,
+    where interpolating ids would invent classes at boundaries."""
+    out_shape = img.shape[:-2] + tuple(out_hw)
+    return jax.image.resize(img, out_shape, method="nearest")
+
+
 def build_pyramid(img: jnp.ndarray, n_levels: int,
                   scale_factor: float = 2.0) -> List[jnp.ndarray]:
     """Image pyramid, finest first. scale_factor=1.2 replicates the

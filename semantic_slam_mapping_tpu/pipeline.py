@@ -101,6 +101,8 @@ class SlamSystem:
         self.frame_count = 0
         self.n_loop_edges = 0
         self.n_optimizations = 0
+        self.n_global_optimizations = 0
+        self.n_local_optimizations = 0
         self.n_recoveries = 0
         self._prev = None  # previous (left, right) device arrays
         self._last_disparity = None  # disparity of the newest tracked frame
@@ -121,7 +123,14 @@ class SlamSystem:
         self._segnet = None
         if cfg.segnet.online:
             from semantic_slam_mapping_tpu.models import segnet as segnet_mod
-            self._segnet = segnet_mod.create(cfg.segnet)
+            if cfg.segnet.weights:
+                model, variables, meta = segnet_mod.load_checkpoint(
+                    cfg.segnet.weights)
+                self._segnet = (model, variables)
+                log.info("segnet weights %s (mIoU %.3f)", cfg.segnet.weights,
+                         meta.get("miou", float("nan")))
+            else:
+                self._segnet = segnet_mod.create(cfg.segnet)
 
     # ------------------------------------------------------------------
     def process_frame(self, left, right, color=None, semantic=None):
@@ -253,27 +262,28 @@ class SlamSystem:
         self.graph.poses[kf_id] = kf.pose
         self.graph.vertex_valid[kf_id] = True
 
-        if kf_id == 0:
-            return
-        # odometry edge to the previous keyframe (pose_graph.cpp:39-65)
-        prev = self.keyframes[kf_id - 1]
-        T_rel = np.linalg.inv(prev.pose) @ kf.pose
-        self._add_edge(kf_id - 1, kf_id, T_rel, is_loop=False)
+        if kf_id > 0:
+            # odometry edge to the previous keyframe (pose_graph.cpp:39-65)
+            prev = self.keyframes[kf_id - 1]
+            T_rel = np.linalg.inv(prev.pose) @ kf.pose
+            self._add_edge(kf_id - 1, kf_id, T_rel, is_loop=False)
 
-        # nearby-keyframe edges (pose_graph.cpp:108-179), batched: all
-        # candidate refs run their PnP gates + viso re-measures as ONE
-        # vmapped device program instead of 5 sequential rounds
-        lo = max(0, kf_id - 1 - cfg.pose_graph.nearby_keyframes)
-        refs = self.keyframes[lo:kf_id - 1]
-        if refs:
-            self._try_edges_batched(refs, kf, is_loop=False)
+            # nearby-keyframe edges (pose_graph.cpp:108-179), batched: all
+            # candidate refs run their PnP gates + viso re-measures as ONE
+            # vmapped device program instead of 5 sequential rounds
+            lo = max(0, kf_id - 1 - cfg.pose_graph.nearby_keyframes)
+            refs = self.keyframes[lo:kf_id - 1]
+            if refs:
+                self._try_edges_batched(refs, kf, is_loop=False)
 
-        # loop closure (pose_graph.cpp:181-234)
-        if self.vocab is not None:
-            self._try_loops(kf)
+            # loop closure (pose_graph.cpp:181-234)
+            if self.vocab is not None:
+                self._try_loops(kf)
 
-        self._maybe_optimize()
+            self._maybe_optimize()
 
+        # map EVERY keyframe including the first (the reference's mapper
+        # consumes all keyframes, mapper.cpp:121-149)
         if self.map is not None:
             self._update_map(kf, out)
 
@@ -449,6 +459,7 @@ class SlamSystem:
             self.loop_error = 0.0
             self.local_error = 0.0
             did = True
+            self.n_global_optimizations += 1
             log.info("global optimization over %d keyframes", n)
         elif self.local_error > cfg.local_accumulate_error:
             g = to_device()
@@ -458,6 +469,7 @@ class SlamSystem:
                 poses=np.array(g.poses, np.float32))
             self.local_error = 0.0
             did = True
+            self.n_local_optimizations += 1
             log.info("local optimization (last %d of %d keyframes)",
                      cfg.local_window, n)
         if did:
@@ -548,7 +560,8 @@ class SlamSystem:
         """Online in-pipeline segmentation of one keyframe (the reference's
         commented-out online path, rgbdframe.cpp:118-136, made real)."""
         from semantic_slam_mapping_tpu.models import segnet as segnet_mod
-        from semantic_slam_mapping_tpu.ops.image import resize_bilinear
+        from semantic_slam_mapping_tpu.ops.image import (resize_bilinear,
+                                                         resize_nearest)
         model, variables = self._segnet
         img = (jnp.asarray(color, jnp.float32) if color is not None
                else jnp.broadcast_to(jnp.asarray(left, jnp.float32)[..., None],
@@ -558,8 +571,9 @@ class SlamSystem:
         w = -(-self.cfg.segnet.input_width // 32) * 32
         x = resize_bilinear(img.transpose(2, 0, 1), (h, w)).transpose(1, 2, 0)
         labels = segnet_mod.infer(model, variables, x[None])[0]
-        full = resize_bilinear(labels.astype(jnp.float32)[None], (H0, W0))[0]
-        return jnp.round(full).astype(jnp.int32)
+        # nearest (not bilinear): interpolating class ids would invent
+        # phantom classes along segment boundaries
+        return resize_nearest(labels[None], (H0, W0))[0].astype(jnp.int32)
 
     # ------------------------------------------------------------------
     def _kf_cloud(self, kf: Keyframe, moving_mask=None):
