@@ -69,29 +69,33 @@ def main():
                                       radius=RADIUS, n_moving=N_MOVING)
     poses = synthetic.loop_trajectory(F, radius=RADIUS, laps=LAPS,
                                       pitch_amp=PITCH_AMP)
-    # start_index is a traced scalar: one compile serves every chunk
-    render = jax.jit(lambda p, i: synthetic.render_sequence(
-        K, world, p, H, W, start_index=i))
-    chunks = []
+
+    # render in chunks, keeping EVERYTHING on device (f16 frames): reading
+    # 500 full-res frames back through the remote-TPU tunnel costs minutes;
+    # the pipeline only pulls per-keyframe slices to host.
+    def render_chunk(p, i):
+        c = synthetic.render_sequence(K, world, p, H, W, start_index=i)
+        return (c["left"].astype(jnp.float16), c["right"].astype(jnp.float16),
+                c["semantic"].astype(jnp.int8))
+    render = jax.jit(render_chunk)   # start_index traced: one compile
     t0 = time.time()
-    for s in range(0, F, RENDER_CHUNK):
-        c = render(poses[s:s + RENDER_CHUNK], s)
-        chunks.append({k: np.asarray(v, np.float16)
-                       if k in ("left", "right") else np.asarray(v)
-                       for k, v in c.items() if k != "depth"})
-    left = np.concatenate([c["left"] for c in chunks])
-    right = np.concatenate([c["right"] for c in chunks])
-    sem = np.concatenate([c["semantic"] for c in chunks])
+    chunks = [render(poses[s:s + RENDER_CHUNK], s)
+              for s in range(0, F, RENDER_CHUNK)]
+    left = jnp.concatenate([c[0] for c in chunks])
+    right = jnp.concatenate([c[1] for c in chunks])
+    sem = jnp.concatenate([c[2] for c in chunks])
+    jax.block_until_ready(sem)
     gt = np.asarray(poses)
     del chunks
     print(f"rendered in {time.time() - t0:.1f}s", flush=True)
 
     # vocabulary from the sequence itself (the make-vocab offline role)
     t0 = time.time()
-    extract = jax.jit(lambda im: orb_mod.extract(im, cfg.orb))
+    extract = jax.jit(lambda im: orb_mod.extract(
+        im.astype(jnp.float32), cfg.orb))
     descs = []
     for i in range(0, F, VOCAB_STRIDE):
-        f = extract(jnp.asarray(left[i], jnp.float32))
+        f = extract(left[i])
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
     vocab = lp.build_vocabulary(np.concatenate(descs), branching=10, depth=4)
     print(f"vocab: {vocab.n_leaves} leaves in {time.time() - t0:.1f}s",
@@ -99,17 +103,13 @@ def main():
 
     system = SlamSystem(cfg, vocab=vocab,
                         enable_mapping=not args.no_mapping)
-    grey3 = None
     t0 = time.time()
     mid_run_global = None
     for i in range(F):
-        li = jnp.asarray(left[i], jnp.float32)
-        if not args.no_mapping:
-            g = (np.clip(left[i].astype(np.float32), 0, 1)
-                 * 255).astype(np.uint8)
-            grey3 = np.stack([g, g, g], -1)
-        system.process_frame(li, jnp.asarray(right[i], jnp.float32),
-                             color=grey3, semantic=sem[i])
+        # color=None: the mapper colors voxels from the grey keyframe image
+        system.process_frame(left[i].astype(jnp.float32),
+                             right[i].astype(jnp.float32),
+                             color=None, semantic=sem[i].astype(jnp.int32))
         if system.n_global_optimizations > 0 and mid_run_global is None:
             mid_run_global = i
         if (i + 1) % 100 == 0:
