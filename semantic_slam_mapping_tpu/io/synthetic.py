@@ -122,15 +122,52 @@ def make_world(key: jax.Array, n_boxes: int = 12, camera_height: float = 1.65,
                  jnp.asarray(backdrop_z, jnp.float32), vel)
 
 
-def _texture(p: jnp.ndarray, seed_scale: float = 1.0) -> jnp.ndarray:
+def _value_noise(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Non-periodic value noise in [-1, 1]: sin-hash values on the integer
+    lattice of (u, v), smoothstep-bilinearly interpolated. Breaks the pure
+    periodicity of the sinusoid octaves (periodic texture is ambiguous for
+    stereo matching along the epipolar line)."""
+    ui, vi = jnp.floor(u), jnp.floor(v)
+    uf, vf = u - ui, v - vi
+
+    def rnd(cu, cv):
+        h = jnp.sin(cu * 127.1 + cv * 311.7) * 43758.5453
+        return 2.0 * (h - jnp.floor(h)) - 1.0
+
+    wu = uf * uf * (3.0 - 2.0 * uf)
+    wv = vf * vf * (3.0 - 2.0 * vf)
+    n0 = rnd(ui, vi) * (1 - wu) + rnd(ui + 1, vi) * wu
+    n1 = rnd(ui, vi + 1) * (1 - wu) + rnd(ui + 1, vi + 1) * wu
+    return n0 * (1 - wv) + n1 * wv
+
+
+def _texture(p: jnp.ndarray, seed_scale: float = 1.0,
+             footprint: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Procedural world texture in [0, 1]: multi-octave interference pattern —
-    smooth enough for LK tracking, busy enough for FAST/GFTT corners."""
+    smooth enough for LK tracking, busy enough for FAST/GFTT corners.
+
+    ``footprint`` (meters subtended by one pixel at the hit point, t/fx)
+    enables mip-style level-of-detail: each octave fades out smoothly as the
+    pixel footprint approaches a quarter of its wavelength, the way a real
+    camera integrates sub-pixel detail. Without it, the fine octaves alias
+    into near-single-pixel stripes on distant surfaces — pathological for
+    KLT (aperture ambiguity) and SGBM (periodic-match ambiguity) — which is
+    exactly what broke VO on the golden loop circuit's backdrop-heavy views.
+    """
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    v = (0.40 * jnp.sin(1.7 * x * seed_scale) * jnp.cos(1.3 * z + 0.7)
-         + 0.25 * jnp.sin(3.9 * x + 2.1 * z) * jnp.sin(2.9 * y + 1.1)
-         + 0.20 * jnp.sin(8.5 * x - 0.4) * jnp.cos(7.3 * z + 2.2)
-         + 0.10 * jnp.sin(17.0 * (x + z)) * jnp.cos(13.0 * (x - y))
-         + 0.05 * jnp.sin(31.0 * z + 5.0 * x))
+
+    def lod(wavelength: float) -> jnp.ndarray:
+        if footprint is None:
+            return jnp.float32(1.0)
+        lam4 = wavelength * 0.25
+        return jax.nn.sigmoid((lam4 - footprint) / (wavelength / 12.0))
+
+    v = (0.40 * lod(3.7) * jnp.sin(1.7 * x * seed_scale) * jnp.cos(1.3 * z + 0.7)
+         + 0.25 * lod(1.6) * jnp.sin(3.9 * x + 2.1 * z) * jnp.sin(2.9 * y + 1.1)
+         + 0.22 * lod(2.2) * _value_noise(2.9 * x + 0.37 * y, 2.9 * z + 0.29 * y)
+         + 0.20 * lod(0.74) * jnp.sin(8.5 * x - 0.4) * jnp.cos(7.3 * z + 2.2)
+         + 0.10 * lod(0.37) * jnp.sin(17.0 * (x + z)) * jnp.cos(13.0 * (x - y))
+         + 0.05 * lod(0.20) * jnp.sin(31.0 * z + 5.0 * x))
     return 0.5 + 0.5 * jnp.tanh(1.5 * v)
 
 
@@ -198,7 +235,10 @@ def render(K: Intrinsics, T_w_c: jnp.ndarray, world: World,
     t_hit = jnp.min(t_all, axis=-1)
 
     p_world = origin + d_world * t_hit[..., None]
-    intensity = _texture(p_world)
+    # pixel footprint in meters at the hit point (mip LOD for _texture);
+    # rays that hit nothing get a finite dummy (overwritten by sky below)
+    footprint = jnp.where(jnp.isfinite(t_hit), t_hit, 0.0) / K.fx
+    intensity = _texture(p_world, footprint=footprint)
     # sky: rays that hit nothing (looking up) — flat low intensity
     sky = ~jnp.isfinite(t_hit)
     intensity = jnp.where(sky, 0.55, intensity)

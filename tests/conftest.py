@@ -20,6 +20,15 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still mutab
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: the big fused pipeline programs take 30-90 s
+# each to compile on the CPU backend and dominate suite wall-clock; caching
+# them across runs cuts repeat suites by minutes (first run pays once).
+_cache = os.path.join(os.path.dirname(__file__), os.pardir,
+                      ".jax_cache_tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def pytest_sessionstart(session):
     assert jax.devices()[0].platform == "cpu", (

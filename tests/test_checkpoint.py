@@ -6,6 +6,7 @@ from semantic_slam_mapping_tpu.utils import checkpoint
 from semantic_slam_mapping_tpu.utils.timing import StageTimer
 
 
+@pytest.mark.slow
 def test_slam_checkpoint_roundtrip(tmp_path):
     # reuse the pipeline test scene/config to produce a real system state
     from tests.test_pipeline import CFG, H, N_FRAMES, W, seq_and_vocab

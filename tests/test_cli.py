@@ -44,6 +44,7 @@ def kitti_dataset(tmp_path_factory):
     return root, gt_file, params
 
 
+@pytest.mark.slow
 def test_cli_tracker_runs_and_reports_ate(kitti_dataset, tmp_path, capsys):
     root, gt_file, params = kitti_dataset
     out = tmp_path / "out"
@@ -118,6 +119,7 @@ def test_cli_rgbd_tum(tum_dataset, tmp_path, capsys):
     assert report["ate_rmse_m"] < 0.5
 
 
+@pytest.mark.slow
 def test_cli_pnp_kitti(kitti_dataset, tmp_path, capsys):
     root, gt_file, params = kitti_dataset
     out = tmp_path / "out"

@@ -65,6 +65,7 @@ def test_full_pipeline_runs_and_tracks(seq_and_vocab):
     assert ate.rmse < 0.6, ate
 
 
+@pytest.mark.slow
 def test_g2o_export(tmp_path, seq_and_vocab):
     seq, vocab = seq_and_vocab
     sys_ = SlamSystem(CFG, vocab=vocab)
@@ -81,6 +82,7 @@ def test_g2o_export(tmp_path, seq_and_vocab):
     assert first[0] == "VERTEX_SE3:QUAT" and len(first) == 9
 
 
+@pytest.mark.slow
 def test_lost_recovery_bounded_ate(seq_and_vocab):
     """VERDICT r1 item 3: blind the tracker for > max_lost_frames frames
     mid-sequence; the system must enter LOST, relocalize against the
@@ -130,6 +132,7 @@ def test_lost_recovery_bounded_ate(seq_and_vocab):
     assert ate.rmse < 1.0, ate
 
 
+@pytest.mark.slow
 def test_chi2_trigger_parity(seq_and_vocab):
     """Weak item r1 #6: the pipeline accumulates each new edge's error as
     the se3-log discrepancy between measurement and odometry chain at

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import numpy as np
 
@@ -9,6 +10,7 @@ from semantic_slam_mapping_tpu.utils import metrics
 from tests.test_pipeline import CFG, H, W
 
 
+@pytest.mark.slow
 def test_process_window_equivalent_keyframing():
     """Window-batched pipeline produces a full trajectory and inserts
     keyframes like the per-frame path."""

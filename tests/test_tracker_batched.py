@@ -1,3 +1,4 @@
+import pytest
 import jax
 import numpy as np
 
@@ -9,6 +10,7 @@ from semantic_slam_mapping_tpu.utils import metrics
 from tests.test_tracker import CAM, CFG, H, W
 
 
+@pytest.mark.slow
 def test_batched_matches_sequential():
     """Batched window tracking must produce the same trajectory as the
     per-frame path (same VO inputs; the RANSAC keys differ, so allow the
