@@ -99,6 +99,21 @@ def _sq_err(T: jnp.ndarray, X: jnp.ndarray, obs: jnp.ndarray,
     return jnp.sum(r * r, axis=-1)
 
 
+def _distinct3(key: jax.Array, n: jnp.ndarray) -> jnp.ndarray:
+    """Three DISTINCT indices in [0, n) (the reference's getRandomSample
+    draws until distinct, vo.cpp; with-replacement draws can produce a
+    duplicated point and a rank-deficient 6-DoF sample — saved only by GN
+    damping, and most likely exactly when matches are few)."""
+    n = jnp.maximum(n, 3)
+    r = jax.random.randint(key, (3,), 0, jnp.stack([n, n - 1, n - 2]))
+    i0 = r[0]
+    i1 = r[1] + (r[1] >= i0)
+    a, b = jnp.minimum(i0, i1), jnp.maximum(i0, i1)
+    i2 = r[2] + (r[2] >= a)
+    i2 = i2 + (i2 >= b)
+    return jnp.stack([i0, i1, i2])
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def estimate_motion(matches: QuadMatches, K: Intrinsics,
                     key: jax.Array,
@@ -129,7 +144,7 @@ def estimate_motion(matches: QuadMatches, K: Intrinsics,
     keys = jax.random.split(key, cfg.ransac_iters)
 
     def hypothesis(k):
-        pick = jax.random.randint(k, (3,), 0, jnp.maximum(n_valid, 1))
+        pick = _distinct3(k, n_valid)
         idx = order[pick]
         w = jnp.zeros(N).at[idx].set(1.0) * w_valid
         T = _gn_refine(se3.identity(), X, obs, w, K,

@@ -164,7 +164,11 @@ def _texture(p: jnp.ndarray, seed_scale: float = 1.0,
 
     v = (0.40 * lod(3.7) * jnp.sin(1.7 * x * seed_scale) * jnp.cos(1.3 * z + 0.7)
          + 0.25 * lod(1.6) * jnp.sin(3.9 * x + 2.1 * z) * jnp.sin(2.9 * y + 1.1)
-         + 0.22 * lod(2.2) * _value_noise(2.9 * x + 0.37 * y, 2.9 * z + 0.29 * y)
+         # value-noise octave: the lattice cell is 1/2.9 m, so the feature
+         # wavelength is two cells = 2/2.9 ≈ 0.69 m (NOT the 2π/2.9 an
+         # angular-frequency reading would give — that kept ~75% amplitude
+         # on the 250 m backdrop where features are ~1 px, re-aliasing KLT)
+         + 0.22 * lod(0.69) * _value_noise(2.9 * x + 0.37 * y, 2.9 * z + 0.29 * y)
          + 0.20 * lod(0.74) * jnp.sin(8.5 * x - 0.4) * jnp.cos(7.3 * z + 2.2)
          + 0.10 * lod(0.37) * jnp.sin(17.0 * (x + z)) * jnp.cos(13.0 * (x - y))
          + 0.05 * lod(0.20) * jnp.sin(31.0 * z + 5.0 * x))

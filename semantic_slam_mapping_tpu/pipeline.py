@@ -351,15 +351,34 @@ class SlamSystem:
         res = jax.vmap(lambda mm, kk: vo.estimate_motion(
             mm, self.K, kk, self.cfg.vo))(m, keys)
 
-        ok = (np.asarray(infos.success) & np.asarray(res.success)
-              & ref_valid)
-        T_rels = np.asarray(jax.vmap(se3.inverse)(res.T_delta))
+        # Edge acceptance mirrors the reference (pose_graph.cpp:126-179):
+        # the PnP gate alone decides whether an edge exists; the viso
+        # quad-match re-measure only OVERWRITES the measurement when it
+        # succeeds (info.T keeps the PnP solution otherwise). Round-2
+        # required PnP AND viso to succeed and always used the viso pose —
+        # over the ~5.5 m keyframe baselines the KLT legs often fail (edges
+        # silently suppressed, r2 had 0 local optimizations) or converge to
+        # garbage that still passed the inlier count (corrupting the graph
+        # the moment a global optimization fired). On top of the reference
+        # behavior we gate the overwrite on agreement with the PnP pose,
+        # since a wide-baseline KLT "success" is not trustworthy.
+        ok = np.asarray(infos.success) & ref_valid
+        viso_ok = np.asarray(res.success)
+        T_viso = np.asarray(jax.vmap(se3.inverse)(res.T_delta))
+        T_pnp = np.asarray(jax.vmap(se3.inverse)(infos.T))
         added = 0
         for i in range(n):
             if not ok[i]:
                 continue
             ref = refs[i]
-            T_rel = T_rels[i]
+            T_rel = T_pnp[i]
+            if viso_ok[i]:
+                d = np.linalg.inv(T_viso[i]) @ T_pnp[i]
+                dt = float(np.linalg.norm(d[:3, 3]))
+                dr = float(np.arccos(np.clip(
+                    0.5 * (np.trace(d[:3, :3]) - 1.0), -1.0, 1.0)))
+                if dt < 0.5 and dr < np.radians(3.0):
+                    T_rel = T_viso[i]
             T_odo = np.linalg.inv(ref.pose) @ kf.pose
             # DELIBERATE DEVIATION from the reference's trigger statistic:
             # the reference accumulates each new edge's g2o chi2 against the
@@ -379,43 +398,6 @@ class SlamSystem:
             self._add_edge(ref.kf_id, kf.kf_id, T_rel, is_loop, chi2)
             added += 1
         return added
-
-    # ------------------------------------------------------------------
-    def _try_edge(self, ref: Keyframe, kf: Keyframe, is_loop: bool) -> bool:
-        """PnP gate then viso re-measure (the reference's two-stage edge
-        construction, pose_graph.cpp:112-159: PnP qualifies the pair, the
-        quad-match VO relative pose overwrites the measurement)."""
-        T_init = np.linalg.inv(ref.pose) @ kf.pose
-        info = pnp_mod.solve_pnp_lazy(
-            jnp.asarray(ref.feat_desc), jnp.asarray(ref.feat_xyz),
-            jnp.asarray(ref.feat_valid),
-            jnp.asarray(kf.feat_desc), jnp.asarray(kf.feat_xy),
-            jnp.asarray(kf.feat_valid),
-            self.K, jnp.asarray(np.linalg.inv(T_init).astype(np.float32)),
-            self.cfg.pnp, self.cfg.orb.knn_match_ratio)
-        if not bool(info.success):
-            return False
-        # viso re-measure: quad-match between the two keyframes' stereo
-        # pairs (ref as "previous", kf as "current")
-        m = quadmatch.quad_match(
-            cur_left=jnp.asarray(kf.left, jnp.float32),
-            cur_right=jnp.asarray(kf.right, jnp.float32),
-            prev_left=jnp.asarray(ref.left, jnp.float32),
-            prev_right=jnp.asarray(ref.right, jnp.float32),
-            qcfg=self.cfg.quadmatch, gcfg=self.cfg.gftt, kcfg=self.cfg.klt)
-        self.key, k = jax.random.split(self.key)
-        res = vo.estimate_motion(m, self.K, k, self.cfg.vo)
-        if not bool(res.success):
-            return False
-        # T_delta maps ref-cam -> kf-cam; edge wants T_ref^-1 T_kf
-        T_rel = np.asarray(se3.inverse(res.T_delta))
-        # chi2 of this edge vs current poses (what the reference adds to
-        # localAccumulatedError / loopAccumulatedError, :164-178, :226-232)
-        r = np.asarray(se3.log(jnp.asarray(
-            np.linalg.inv(T_rel) @ T_init, dtype=np.float32)))
-        chi2 = float(self.cfg.pose_graph.information_weight * (r @ r))
-        self._add_edge(ref.kf_id, kf.kf_id, T_rel, is_loop, chi2)
-        return True
 
     # ------------------------------------------------------------------
     def _try_loops(self, kf: Keyframe):

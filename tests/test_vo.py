@@ -92,3 +92,28 @@ def test_vo_insufficient_matches_fails():
     m = m._replace(valid=m.valid.at[4:].set(False))  # only 4 matches
     res = vo.estimate_motion(m, K, jax.random.PRNGKey(9), CFG)
     assert not bool(res.success)
+
+
+def test_distinct3_never_duplicates():
+    """RANSAC samples must use three distinct matches (reference vo.cpp
+    getRandomSample): with-replacement draws made rank-deficient
+    hypotheses possible exactly when matches are few."""
+    keys = jax.random.split(jax.random.PRNGKey(3), 512)
+    for n in (3, 4, 5, 7, 64):
+        idx = jax.vmap(lambda k: vo._distinct3(k, jnp.int32(n)))(keys)
+        idx = np.asarray(idx)
+        assert idx.min() >= 0 and idx.max() < n
+        assert (np.sort(idx, axis=1)[:, :-1] != np.sort(idx, axis=1)[:, 1:]).all()
+
+
+def test_vo_minimal_match_count_distinct_sampling():
+    """With exactly enough matches that any duplicate draw would be fatal,
+    VO must still recover the motion (degenerate duplicate samples can't
+    win once sampling is distinct)."""
+    T_true = se3.exp(jnp.array([0.02, 0.0, -0.5, 0.0, 0.015, 0.0]))
+    K, m = make_matches(jax.random.PRNGKey(4), T_true)
+    valid = jnp.zeros(N, bool).at[:8].set(True)   # only 8 usable matches
+    m = m._replace(valid=valid)
+    res = vo.estimate_motion(m, K, jax.random.PRNGKey(5), CFG)
+    assert bool(res.success)
+    check_recovery(res.T_delta, T_true, tol_t=0.02, tol_r=2e-3)
