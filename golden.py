@@ -105,20 +105,29 @@ def main():
                         enable_mapping=not args.no_mapping)
     t0 = time.time()
     mid_run_global = None
-    for i in range(F):
+
+    def frame_stream():
         # color=None: the mapper colors voxels from the grey keyframe image
-        system.process_frame(left[i].astype(jnp.float32),
-                             right[i].astype(jnp.float32),
-                             color=None, semantic=sem[i].astype(jnp.int32))
-        if system.n_global_optimizations > 0 and mid_run_global is None:
-            mid_run_global = i
-        if (i + 1) % 100 == 0:
-            print(f"frame {i + 1}/{F}: kf={len(system.keyframes)} "
-                  f"loops={system.n_loop_edges} "
-                  f"opt={system.n_optimizations} "
-                  f"({(i + 1) / (time.time() - t0):.2f} fps)", flush=True)
+        nonlocal mid_run_global
+        for i in range(F):
+            yield (left[i].astype(jnp.float32),
+                   right[i].astype(jnp.float32),
+                   None, sem[i].astype(jnp.int32))
+            if system.n_global_optimizations > 0 and mid_run_global is None:
+                mid_run_global = i
+            if (i + 1) % 100 == 0:
+                print(f"frame {i + 1}/{F}: kf={len(system.keyframes)} "
+                      f"loops={system.n_loop_edges} "
+                      f"opt={system.n_optimizations} "
+                      f"({(i + 1) / (time.time() - t0):.2f} fps)",
+                      flush=True)
+
+    # pipelined driver: frame N+1's frontend is in flight on the device
+    # while frame N's keyframe/backend work runs on the host
+    system.process_stream(frame_stream())
     traj = np.stack(system.finish())
     wall = time.time() - t0
+    print(system.timer.report(), flush=True)
 
     ate = metrics.absolute_trajectory_error(traj, gt)
     rpe_t, rpe_r = metrics.relative_pose_error(traj, gt)

@@ -153,15 +153,27 @@ class GlobalMap:
                                                       int]] = {}
         self.updates = 0
 
-    def insert_cloud(self, cloud: FrameCloud):
-        xyz = np.asarray(cloud.xyz)[np.asarray(cloud.valid)]
-        rgb = np.asarray(cloud.rgb)[np.asarray(cloud.valid)]
-        lbl = np.asarray(cloud.label)[np.asarray(cloud.valid)]
-        q = np.floor(xyz / self.cfg.resolution).astype(np.int64)
-        for i in range(len(xyz)):
-            k = (int(q[i, 0]), int(q[i, 1]), int(q[i, 2]))
-            self.voxels[k] = (xyz[i], rgb[i], int(lbl[i]))
+    def insert(self, xyz: np.ndarray, rgb: np.ndarray,
+               label: Optional[np.ndarray] = None,
+               valid: Optional[np.ndarray] = None):
+        """Array-based insert (same signature as NativeVoxelMap.insert)."""
+        if valid is not None:
+            keep = np.asarray(valid).astype(bool)
+            xyz, rgb = xyz[keep], rgb[keep]
+            label = label[keep] if label is not None else None
+        if label is None:
+            label = np.zeros(len(xyz), np.int32)
+        q = np.floor(np.asarray(xyz) / self.cfg.resolution).astype(np.int64)
+        self.voxels.update(zip(map(tuple, q.tolist()),
+                               zip(xyz, rgb, label.tolist())))
         self.updates += 1
+
+    def insert_cloud(self, cloud: FrameCloud):
+        self.insert(np.asarray(cloud.xyz), np.asarray(cloud.rgb),
+                    np.asarray(cloud.label), np.asarray(cloud.valid))
+
+    def clear(self):
+        self.voxels.clear()
 
     def rebuild(self, clouds):
         """Full rebuild from a list of FrameClouds (the every-15th-update

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 from collections import deque
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -43,8 +44,22 @@ from semantic_slam_mapping_tpu.geometry.camera import (Intrinsics,
                                                        triangulate_stereo)
 from semantic_slam_mapping_tpu.ops import orb
 from semantic_slam_mapping_tpu.utils.logging import get_logger
+from semantic_slam_mapping_tpu.utils.timing import StageTimer
 
 log = get_logger("pipeline")
+
+
+@partial(jax.jit, static_argnames=("ocfg",))
+def _extract_features_jit(left, disparity, K, ocfg):
+    """ORB + per-feature 3D from disparity as ONE device program (the
+    reference fills Feature::position from depth, orb.h:32-53). Fusing the
+    eager follow-ups into the jit matters on a remote TPU where every eager
+    op is a ~25 ms dispatch."""
+    from semantic_slam_mapping_tpu.ops.image import bilinear_sample
+    feats = orb.extract(left, ocfg)
+    d = bilinear_sample(disparity, feats.xy)
+    xyz = triangulate_stereo(K, feats.xy, jnp.maximum(d, 0.5))
+    return feats, xyz, feats.valid & (d > 0.5)
 
 
 @dataclasses.dataclass
@@ -98,6 +113,13 @@ class SlamSystem:
         self.local_error = 0.0
         self.loop_error = 0.0
         self.trajectory: List[np.ndarray] = []
+        # per-frame anchor (kf_id, T_rel): frame_pose = kf.pose @ T_rel
+        # captured at processing time. When optimization rewrites keyframe
+        # poses, finish() re-exports EVERY frame through its anchor, so
+        # loop corrections propagate to the whole trajectory — not just
+        # frames after the optimization (the reference only ever exports
+        # keyframes, traj.g2o; a full-trajectory ATE needs this).
+        self._anchors: List = []
         self.frame_count = 0
         self.n_loop_edges = 0
         self.n_optimizations = 0
@@ -106,17 +128,28 @@ class SlamSystem:
         self.n_recoveries = 0
         self._prev = None  # previous (left, right) device arrays
         self._last_disparity = None  # disparity of the newest tracked frame
+        # pipelined-mode bookkeeping: when a state rewrite (recovery /
+        # post-optimization adjust) happens while a later frame is already
+        # in flight on the device, that frame's out.pose is stale; the
+        # pending correction is composed onto it at postprocess time.
+        self._dispatched = 0
+        self._processed = 0
+        self._pose_correction: Optional[np.ndarray] = None
         # bounded reference-frame deque (refFrames, track.cpp:130-136;
         # size tracker_ref_frames, parameters.txt:81) — relocalization
         # anchors for adjust/lostRecover. Holds recent keyframes (they
         # carry the ORB features + 3D positions PnP needs).
         self.ref_frames: deque = deque(maxlen=max(1, cfg.tracker.ref_frames))
         self.map = None
+        self.timer = StageTimer()
         if enable_mapping:
             from semantic_slam_mapping_tpu.mapping.native import \
                 make_global_map
             self.map = make_global_map(cfg.mapper.resolution)
             self._map_updates = 0
+            # kf_id -> (xyz_cam, rgb, label) host cache of camera-frame
+            # clouds (see _kf_cloud_camera)
+            self._cloud_cache = {}
         # online segmentation (cfg.segnet.online): run SegNet on keyframe
         # color when no precomputed semantics are supplied — the in-pipeline
         # alternative to the reference's offline pre-pass (SURVEY.md §3.5)
@@ -133,17 +166,18 @@ class SlamSystem:
                 self._segnet = segnet_mod.create(cfg.segnet)
 
     # ------------------------------------------------------------------
-    def process_frame(self, left, right, color=None, semantic=None):
-        """Feed one stereo frame; returns the FrameResult (or None for the
-        very first frame, which only primes the pair buffer)."""
+    def _dispatch_frame(self, left, right):
+        """Enqueue one frontend step on the device (asynchronously); the
+        host does not read any result here. Returns the FrameResult
+        futures, or None for the very first frame (pair-buffer priming)."""
         left = jnp.asarray(left, jnp.float32)
         right = jnp.asarray(right, jnp.float32)
         if self._prev is None:
             self._prev = (left, right)
             self.trajectory.append(np.eye(4))
+            self._append_anchor(np.eye(4))
             self.frame_count += 1
             return None
-
         self.key, k = jax.random.split(self.key)
         prev_left, prev_right = self._prev
         self.state, out = tracker.track_frame(
@@ -151,15 +185,62 @@ class SlamSystem:
             self.K, k, self.cfg)
         self._prev = (left, right)
         self._last_disparity = out.disparity
-        self.trajectory.append(np.asarray(out.pose))
+        self._dispatched += 1
+        return out
+
+    def _postprocess_frame(self, out, left, right, color, semantic):
+        """Host-side per-frame logic: trajectory append, lost recovery,
+        keyframe gate + backend work. In pipelined mode this runs for frame
+        N while the device computes frame N+1; all state rewrites use
+        correction transport, so being one frame behind stays exact."""
+        with self.timer.stage("frontend"):
+            pose = np.asarray(out.pose, np.float64)
+        self._processed += 1
+        if self._pose_correction is not None:
+            pose = self._pose_correction @ pose
+            self._pose_correction = None
+        self.trajectory.append(pose)
+        self._append_anchor(pose)
         self.frame_count += 1
 
         if int(out.status) == tracker.LOST and self.ref_frames:
             self._lost_recover(left, out.disparity)
 
-        if self._keyframe_due(out):
-            self._insert_keyframe(out, left, right, color, semantic)
+        if self._keyframe_due(self.trajectory[-1]):
+            self._insert_keyframe(out, self.trajectory[-1], left, right,
+                                  color, semantic)
+
+    def process_frame(self, left, right, color=None, semantic=None):
+        """Feed one stereo frame; returns the FrameResult (or None for the
+        very first frame, which only primes the pair buffer)."""
+        out = self._dispatch_frame(left, right)
+        if out is not None:
+            self._postprocess_frame(out, self._prev[0], self._prev[1],
+                                    color, semantic)
         return out
+
+    def process_stream(self, frames):
+        """Pipelined driver (the TPU replacement for the reference's
+        three-thread latency hiding, pose_graph.h:50-51 / mapper.h:26 —
+        SURVEY.md §2.3 pipeline-staging row): iterate ``frames`` yielding
+        (left, right[, color[, semantic]]) tuples; frame N+1's frontend is
+        dispatched to the device BEFORE frame N's host-side keyframe/
+        backend work runs, so ORB/BoW/PnP/map inserts overlap with the next
+        frame's SGBM+KLT+VO instead of serializing with it. Deterministic:
+        results are identical to process_frame up to the one-frame-stale
+        relocalization transport (exercised by tests)."""
+        pending = None
+        for item in frames:
+            left, right = item[0], item[1]
+            color = item[2] if len(item) > 2 else None
+            semantic = item[3] if len(item) > 3 else None
+            out = self._dispatch_frame(left, right)
+            if pending is not None:
+                self._postprocess_frame(*pending)
+            pending = ((out, self._prev[0], self._prev[1], color, semantic)
+                       if out is not None else None)
+        if pending is not None:
+            self._postprocess_frame(*pending)
 
     # ------------------------------------------------------------------
     def process_window(self, lefts, rights, colors=None, semantics=None):
@@ -174,93 +255,128 @@ class SlamSystem:
         if self._prev is None:
             self.trajectory.append(np.eye(4))
             self.frame_count += 1
+        if self._prev is None:
+            self._append_anchor(np.eye(4))
         self.state, out = tracker.track_frames_batched(
             self.state, lefts, rights, self.K, k, self.cfg)
         self._prev = (lefts[-1], rights[-1])
         self._last_disparity = out.disparity[-1]
         poses = np.asarray(out.pose)
+        statuses = np.asarray(out.status)
+        # running correction from mid-window relocalizations: frames after
+        # a lost-then-recovered frame were integrated from the broken pose,
+        # so transport them by the recovery correction (fixes the round-2
+        # window-mode gap: LOST was only checked after the whole window)
+        C = np.eye(4)
+        corrected = False
         for i in range(B):
-            self.trajectory.append(poses[i])
+            pose_i = (C @ poses[i]) if corrected else poses[i]
+            self.trajectory.append(pose_i)
+            self._append_anchor(pose_i)
             self.frame_count += 1
+            if statuses[i] == tracker.LOST and self.ref_frames:
+                rec = self._relocalize(lefts[i + 1], out.disparity[i],
+                                       pose_i)
+                if rec is None:
+                    ref = self.ref_frames[-1]
+                    new_pose = ref.pose.astype(np.float64)
+                    log.info("lost: re-seeded at keyframe %d pose",
+                             ref.kf_id)
+                else:
+                    new_pose, ref = rec
+                    log.info("relocalized against keyframe %d", ref.kf_id)
+                self.n_recoveries += 1
+                self._rewrite_last(new_pose, anchor_kf=ref)
+                self.ref_frames.clear()
+                self.ref_frames.append(ref)
+                C = new_pose @ np.linalg.inv(poses[i])
+                corrected = True
+                pose_i = new_pose
             single = tracker.FrameResult(
-                pose=out.pose[i], T_delta=out.T_delta[i],
+                pose=jnp.asarray(pose_i.astype(np.float32)),
+                T_delta=out.T_delta[i],
                 status=out.status[i], n_matches=out.n_matches[i],
                 n_inliers=out.n_inliers[i],
                 moving_mask=out.moving_mask[i], disparity=out.disparity[i],
                 matches=jax.tree_util.tree_map(lambda x: x[i], out.matches),
                 vo_success=out.vo_success[i], pitch=out.pitch[i])
-            if self._keyframe_due(single):
+            if self._keyframe_due(pose_i):
                 self._insert_keyframe(
-                    single, lefts[i + 1], rights[i + 1],
+                    single, pose_i, lefts[i + 1], rights[i + 1],
                     colors[i + 1] if colors is not None else None,
                     semantics[i + 1] if semantics is not None else None)
-        if int(out.status[-1]) == tracker.LOST and self.ref_frames:
-            self._lost_recover(lefts[-1], out.disparity[-1])
+        if corrected:
+            # transport the live tracker state by the window correction
+            self.state = tracker.adjust(self.state, jnp.asarray(
+                (C @ np.asarray(self.state.pose, np.float64))
+                .astype(np.float32)))
         return out
 
     # ------------------------------------------------------------------
-    def _keyframe_due(self, out) -> bool:
+    def _append_anchor(self, pose: np.ndarray):
+        if self.keyframes:
+            kf = self.keyframes[-1]
+            self._anchors.append(
+                (kf.kf_id, np.linalg.inv(kf.pose) @ pose))
+        else:
+            self._anchors.append((-1, pose.copy()))
+
+    def _rewrite_last(self, pose: np.ndarray, anchor_kf=None):
+        """Rewrite the newest trajectory entry (+ its anchor relation)."""
+        self.trajectory[-1] = np.asarray(pose)
+        if anchor_kf is not None:
+            self._anchors[-1] = (anchor_kf.kf_id,
+                                 np.linalg.inv(anchor_kf.pose) @ pose)
+        elif self.keyframes:
+            kf = self.keyframes[-1]
+            self._anchors[-1] = (kf.kf_id, np.linalg.inv(kf.pose) @ pose)
+
+    # ------------------------------------------------------------------
+    def _keyframe_due(self, pose) -> bool:
         """Keyframe policy (pose_graph.cpp:29-36): first frame always; then
         translation > keyframe_min_translation or rotation >
         keyframe_min_rotation relative to the last keyframe."""
         if not self.keyframes:
             return True
         ref = self.keyframes[-1].pose
-        rel = np.linalg.inv(ref) @ np.asarray(out.pose)
+        rel = np.linalg.inv(ref) @ np.asarray(pose)
         dt = float(np.linalg.norm(rel[:3, 3]))
-        dr = float(np.asarray(se3.rotation_angle(jnp.asarray(rel))))
+        # acos(0.5 (tr R - 1)) on the host (norm_rotate, utils.h:21-24)
+        dr = float(np.arccos(np.clip(
+            0.5 * (np.trace(rel[:3, :3]) - 1.0), -1.0, 1.0)))
         return (dt > self.cfg.pose_graph.keyframe_min_translation
                 or dr > self.cfg.pose_graph.keyframe_min_rotation)
 
     # ------------------------------------------------------------------
     def _extract_features(self, left, disparity):
-        feats = orb.extract(left, self.cfg.orb)
-        # 3D positions from disparity at feature locations (the reference
-        # fills Feature::position from depth, orb.h:32-53)
-        from semantic_slam_mapping_tpu.ops.image import bilinear_sample
-        d = bilinear_sample(disparity, feats.xy)
-        has_depth = d > 0.5
-        xyz = triangulate_stereo(self.K, feats.xy, jnp.maximum(d, 0.5))
-        return feats, xyz, feats.valid & has_depth
+        return _extract_features_jit(left, disparity, self.K, self.cfg.orb)
 
     # ------------------------------------------------------------------
-    def _insert_keyframe(self, out, left, right, color, semantic):
+    def _insert_keyframe(self, out, pose, left, right, color, semantic):
         cfg = self.cfg
         kf_id = len(self.keyframes)
         if kf_id >= cfg.pose_graph.max_keyframes:
             log.warning("keyframe budget exhausted; dropping keyframe")
             return
-        feats, xyz, feat_valid = self._extract_features(left, out.disparity)
+        with self.timer.stage("kf/features"):
+            feats, xyz, feat_valid = self._extract_features(
+                left, out.disparity)
         # sparse BoW at the configured scoring level (DBoW2-scale: memory
         # per keyframe is O(features), independent of vocabulary size)
-        bow = (lp.transform_sparse(self.vocab, feats.desc, feats.valid,
-                                   cfg.looper.scoring_level,
-                                   budget=cfg.looper.bow_budget)
-               if self.vocab is not None else None)
+        with self.timer.stage("kf/bow"):
+            bow = (lp.transform_sparse(self.vocab, feats.desc, feats.valid,
+                                       cfg.looper.scoring_level,
+                                       budget=cfg.looper.bow_budget)
+                   if self.vocab is not None else None)
 
         if semantic is None and self._segnet is not None:
-            semantic = self._run_segnet(left, color)
+            with self.timer.stage("kf/segnet"):
+                semantic = self._run_segnet(left, color)
 
-        kf = Keyframe(
-            kf_id=kf_id, frame_index=self.frame_count - 1,
-            pose=np.asarray(out.pose),
-            bow_idx=np.asarray(bow.idx) if bow is not None else None,
-            bow_w=np.asarray(bow.w) if bow is not None else None,
-            feat_xy=np.asarray(feats.xy),
-            feat_desc=np.asarray(feats.desc),
-            feat_xyz=np.asarray(xyz),
-            feat_valid=np.asarray(feat_valid),
-            left=np.asarray(left, np.float16),
-            right=np.asarray(right, np.float16),
-            color=(np.asarray(color) if color is not None else None),
-            semantic=(np.asarray(semantic) if semantic is not None else None),
-            disparity=np.asarray(out.disparity, np.float16))
-        self.keyframes.append(kf)
-        self.ref_frames.append(kf)   # bounded deque (track.cpp:130-136)
-
-        # graph vertex (host-side numpy mutation)
-        self.graph.poses[kf_id] = kf.pose
-        self.graph.vertex_valid[kf_id] = True
+        with self.timer.stage("kf/store"):
+            kf = self._store_keyframe(out, pose, left, right, color,
+                                      semantic, kf_id, feats, xyz,
+                                      feat_valid, bow)
 
         if kf_id > 0:
             # odometry edge to the previous keyframe (pose_graph.cpp:39-65)
@@ -274,18 +390,49 @@ class SlamSystem:
             lo = max(0, kf_id - 1 - cfg.pose_graph.nearby_keyframes)
             refs = self.keyframes[lo:kf_id - 1]
             if refs:
-                self._try_edges_batched(refs, kf, is_loop=False)
+                with self.timer.stage("kf/nearby_edges"):
+                    self._try_edges_batched(refs, kf, is_loop=False)
 
             # loop closure (pose_graph.cpp:181-234)
             if self.vocab is not None:
-                self._try_loops(kf)
+                with self.timer.stage("kf/loops"):
+                    self._try_loops(kf)
 
-            self._maybe_optimize()
+            with self.timer.stage("kf/optimize"):
+                self._maybe_optimize()
 
         # map EVERY keyframe including the first (the reference's mapper
         # consumes all keyframes, mapper.cpp:121-149)
         if self.map is not None:
-            self._update_map(kf, out)
+            with self.timer.stage("kf/map"):
+                self._update_map(kf, out)
+
+    # ------------------------------------------------------------------
+    def _store_keyframe(self, out, pose, left, right, color, semantic,
+                        kf_id, feats, xyz, feat_valid, bow) -> Keyframe:
+        kf = Keyframe(
+            kf_id=kf_id, frame_index=self.frame_count - 1,
+            pose=np.asarray(pose, np.float32),
+            bow_idx=np.asarray(bow.idx) if bow is not None else None,
+            bow_w=np.asarray(bow.w) if bow is not None else None,
+            feat_xy=np.asarray(feats.xy),
+            feat_desc=np.asarray(feats.desc),
+            feat_xyz=np.asarray(xyz),
+            feat_valid=np.asarray(feat_valid),
+            left=np.asarray(left, np.float16),
+            right=np.asarray(right, np.float16),
+            color=(np.asarray(color) if color is not None else None),
+            semantic=(np.asarray(semantic) if semantic is not None else None),
+            disparity=np.asarray(out.disparity, np.float16))
+        self.keyframes.append(kf)
+        self.ref_frames.append(kf)   # bounded deque (track.cpp:130-136)
+        if self._anchors:
+            self._anchors[-1] = (kf_id, np.eye(4))  # this frame IS the KF
+
+        # graph vertex (host-side numpy mutation)
+        self.graph.poses[kf_id] = kf.pose
+        self.graph.vertex_valid[kf_id] = True
+        return kf
 
     # ------------------------------------------------------------------
     def _add_edge(self, i, j, T_rel, is_loop, chi2=0.0):
@@ -404,13 +551,26 @@ class SlamSystem:
         cfg = self.cfg.looper
         if len(self.keyframes) <= 1:
             return
-        db_idx = np.stack([k.bow_idx for k in self.keyframes[:-1]])
-        db_w = np.stack([k.bow_w for k in self.keyframes[:-1]])
-        ids = np.array([k.frame_index for k in self.keyframes[:-1]])
+        n = len(self.keyframes) - 1
+        # pad the database to the next power of two: the scoring program
+        # compiles once per size BUCKET (log2 many over a whole run), not
+        # once per keyframe — per-keyframe recompiles on a remote TPU were
+        # a dominant e2e cost in round 2
+        cap = 1
+        while cap < n:
+            cap *= 2
+        pad = cap - n
+        db_idx = np.stack([k.bow_idx for k in self.keyframes[:n]]
+                          + [self.keyframes[0].bow_idx] * pad)
+        db_w = np.stack([k.bow_w for k in self.keyframes[:n]]
+                        + [self.keyframes[0].bow_w] * pad)
+        ids = np.array([k.frame_index for k in self.keyframes[:n]]
+                       + [0] * pad)
+        db_valid = np.arange(cap) < n
         scores, mask = lp.get_possible_loops_sparse(
             lp.SparseBow(jnp.asarray(kf.bow_idx), jnp.asarray(kf.bow_w)),
             jnp.asarray(db_idx), jnp.asarray(db_w), jnp.asarray(ids),
-            jnp.ones(len(ids), bool), jnp.int32(kf.frame_index),
+            jnp.asarray(db_valid), jnp.int32(kf.frame_index),
             cfg.min_sim_score, cfg.min_interval)
         cand = [self.keyframes[int(i)] for i in np.nonzero(np.asarray(mask))[0]]
         nb = self.cfg.pose_graph.nearby_keyframes
@@ -489,53 +649,80 @@ class SlamSystem:
         pose_graph.cpp:298-302): re-anchor the live frontend on the
         optimized reference keyframe and reset the ref deque to [ref].
 
-        If the live frame IS the ref keyframe (single-frame mode:
-        optimization only triggers at keyframe insertion) the optimized
-        pose is exact. Otherwise (window mode, tracker ran past the KF)
-        re-localize by PnP current<->ref like the reference; if PnP fails,
-        transport the optimization correction onto the live pose
-        (pose <- T_opt @ inv(T_pre) @ pose)."""
+        The newest trajectory entry is ref's own frame (optimization only
+        fires at keyframe insertion), so it takes the optimized pose
+        exactly. The live tracker STATE may be ahead of it (window or
+        pipelined mode): transport the optimization correction onto it
+        (pose <- T_opt @ inv(T_pre) @ pose), then, when the live frame is
+        genuinely past the keyframe, refine by PnP current<->ref like the
+        reference; in plain single-frame mode the transport alone is
+        already exact."""
+        self._rewrite_last(ref.pose.astype(np.float64), anchor_kf=ref)
         cur_pose = np.asarray(self.state.pose, np.float64)
-        if self.frame_count - 1 == ref.frame_index or self._prev is None \
-                or self._last_disparity is None:
-            new_pose = ref.pose.astype(np.float64)
-        else:
-            T_init = np.linalg.inv(cur_pose) @ ref.pose
-            new_pose = self._pnp_to_ref(ref, self._prev[0],
-                                        self._last_disparity, T_init)
-            if new_pose is None:
-                new_pose = (ref.pose @ np.linalg.inv(ref_pose_pre_opt)
-                            @ cur_pose)
+        C = ref.pose.astype(np.float64) @ np.linalg.inv(
+            ref_pose_pre_opt.astype(np.float64))
+        new_pose = C @ cur_pose
+        live_is_ref = np.allclose(cur_pose, ref_pose_pre_opt, atol=1e-5)
+        if not live_is_ref and self._prev is not None \
+                and self._last_disparity is not None:
+            refined = self._pnp_to_ref(
+                ref, self._prev[0], self._last_disparity,
+                np.linalg.inv(new_pose) @ ref.pose)
+            if refined is not None:
+                new_pose = refined
         self.state = tracker.adjust(
             self.state, jnp.asarray(new_pose.astype(np.float32)))
-        self.trajectory[-1] = np.asarray(new_pose)
+        self._note_correction(new_pose @ np.linalg.inv(cur_pose))
         self.ref_frames.clear()
         self.ref_frames.append(ref)
 
     # ------------------------------------------------------------------
+    def _relocalize(self, left, disparity, cur_pose):
+        """Try to PnP-relocalize a live frame against the ref-frame deque
+        newest-first; returns (new_pose, ref) or None."""
+        cur_pose = np.asarray(cur_pose, np.float64)
+        for ref in reversed(self.ref_frames):
+            T_init = np.linalg.inv(cur_pose) @ ref.pose
+            new_pose = self._pnp_to_ref(ref, left, disparity, T_init)
+            if new_pose is not None:
+                return new_pose, ref
+        return None
+
     def _lost_recover(self, left, disparity) -> bool:
         """LOST-state recovery (lostRecover, track.cpp:202-212), upgraded
         with the adjust PnP: try to re-localize the current frame against
         the ref-frame deque newest-first; on total failure re-seed at the
         newest ref pose (the reference's behavior)."""
-        cur_pose = np.asarray(self.state.pose, np.float64)
-        for ref in reversed(self.ref_frames):
-            T_init = np.linalg.inv(cur_pose) @ ref.pose
-            new_pose = self._pnp_to_ref(ref, left, disparity, T_init)
-            if new_pose is not None:
-                self.state = tracker.adjust(
-                    self.state, jnp.asarray(new_pose.astype(np.float32)))
-                self.trajectory[-1] = np.asarray(new_pose)
-                self.n_recoveries += 1
-                log.info("relocalized against keyframe %d", ref.kf_id)
-                return True
-        self.state = tracker.lost_recover(
-            self.state, jnp.asarray(self.ref_frames[-1].pose))
-        self.trajectory[-1] = self.ref_frames[-1].pose
+        old_pose = np.asarray(self.trajectory[-1], np.float64)
+        rec = self._relocalize(left, disparity, old_pose)
+        if rec is not None:
+            new_pose, ref = rec
+            found = True
+            log.info("relocalized against keyframe %d", ref.kf_id)
+        else:
+            ref = self.ref_frames[-1]
+            new_pose = ref.pose.astype(np.float64)
+            found = False
+            log.info("lost: re-seeded at keyframe %d pose", ref.kf_id)
+        # correction transport: the live tracker state may be one frame
+        # ahead of the recovered frame (pipelined mode); composing the
+        # correction keeps both modes exact (in plain mode state.pose ==
+        # old_pose, so C @ state.pose == new_pose)
+        C = new_pose @ np.linalg.inv(old_pose)
+        self.state = tracker.adjust(self.state, jnp.asarray(
+            (C @ np.asarray(self.state.pose, np.float64))
+            .astype(np.float32)))
+        self._note_correction(C)
+        self._rewrite_last(new_pose, anchor_kf=ref)
         self.n_recoveries += 1
-        log.info("lost: re-seeded at keyframe %d pose",
-                 self.ref_frames[-1].kf_id)
-        return False
+        return found
+
+    def _note_correction(self, C: np.ndarray):
+        """Register a pose correction for a frame already in flight on the
+        device (its out.pose was computed from the pre-rewrite state)."""
+        if self._dispatched > self._processed:
+            self._pose_correction = (C if self._pose_correction is None
+                                     else C @ self._pose_correction)
 
     # ------------------------------------------------------------------
     def _run_segnet(self, left, color):
@@ -558,8 +745,14 @@ class SlamSystem:
         return resize_nearest(labels[None], (H0, W0))[0].astype(jnp.int32)
 
     # ------------------------------------------------------------------
-    def _kf_cloud(self, kf: Keyframe, moving_mask=None):
-        """Generate this keyframe's filtered voxel cloud on device."""
+    def _kf_cloud_camera(self, kf: Keyframe, moving_mask=None):
+        """Generate this keyframe's filtered voxel cloud in the CAMERA
+        frame (pose=I inside the device program). The camera-frame cloud is
+        pose-independent, so it is generated ONCE per keyframe and cached
+        on the host (`_cloud_cache`); map inserts and post-optimization
+        full rebuilds just re-transform the cached (P, 3) array by the
+        current keyframe pose in numpy — round 2 regenerated + read back
+        every cloud on every rebuild, a dominant e2e cost."""
         from semantic_slam_mapping_tpu.geometry.camera import \
             disparity_to_depth
         from semantic_slam_mapping_tpu.mapping import mapper as mp
@@ -575,10 +768,22 @@ class SlamSystem:
                   else jnp.full(kf.left.shape, 1, jnp.int32))
         mov = (moving_mask if moving_mask is not None
                else jnp.zeros(kf.left.shape, bool))
-        return mp.generate_point_cloud(
-            depth, color, labels, mov, jnp.asarray(kf.pose), self.K,
+        cloud = mp.generate_point_cloud(
+            depth, color, labels, mov, jnp.eye(4), self.K,
             self.cfg.camera, self.cfg.mapper,
             budget=self.cfg.mapper.max_points_per_frame)
+        valid = np.asarray(cloud.valid)
+        return (np.asarray(cloud.xyz)[valid], np.asarray(cloud.rgb)[valid],
+                np.asarray(cloud.label)[valid])
+
+    def _insert_kf_into_map(self, kf: Keyframe, moving_mask=None):
+        if kf.kf_id not in self._cloud_cache:
+            self._cloud_cache[kf.kf_id] = self._kf_cloud_camera(
+                kf, moving_mask)
+        xyz_c, rgb, lbl = self._cloud_cache[kf.kf_id]
+        R, t = kf.pose[:3, :3], kf.pose[:3, 3]
+        self.map.insert(xyz_c @ R.T.astype(np.float32) +
+                        t.astype(np.float32), rgb, lbl)
 
     def _update_map(self, kf: Keyframe, out):
         """The mapper thread's update policy (mapper.cpp:121-149): every
@@ -594,7 +799,7 @@ class SlamSystem:
             self.map.clear()
             self._mapped_ids = set()
             for k in self.keyframes[::cfg.full_rebuild_stride]:
-                self.map.insert_cloud(self._kf_cloud(k))
+                self._insert_kf_into_map(k)
                 self._mapped_ids.add(k.kf_id)
         else:
             if not hasattr(self, "_mapped_ids"):
@@ -603,7 +808,7 @@ class SlamSystem:
                 if k.kf_id in self._mapped_ids:
                     continue
                 mask = out.moving_mask if k.kf_id == kf.kf_id else None
-                self.map.insert_cloud(self._kf_cloud(k, mask))
+                self._insert_kf_into_map(k, mask)
                 self._mapped_ids.add(k.kf_id)
         log.info("map: %d voxels after update %d", len(self.map),
                  self._map_updates)
@@ -611,10 +816,16 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def finish(self) -> np.ndarray:
         """Final global optimization + trajectory export (the reference's
-        shutdown: save traj.g2o then optimize, pose_graph.h:73-96)."""
+        shutdown: save traj.g2o then optimize, pose_graph.h:73-96). The
+        export re-derives every frame from its keyframe anchor so loop/
+        global corrections propagate through the whole trajectory."""
         if len(self.keyframes) > 1:
             self._maybe_optimize(force_global=True)
-        return np.stack(self.trajectory)
+        traj = []
+        for pose, (kf_id, T_rel) in zip(self.trajectory, self._anchors):
+            traj.append(pose if kf_id < 0
+                        else self.keyframes[kf_id].pose @ T_rel)
+        return np.stack(traj)
 
     # ------------------------------------------------------------------
     def save_g2o(self, path: str):

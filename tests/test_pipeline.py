@@ -170,3 +170,20 @@ def test_chi2_trigger_parity(seq_and_vocab):
     want = float(np.asarray(pg.edge_chi2(g))[before_edges])
     assert abs(accumulated - want) < 0.05 * max(want, 1e-6) + 1e-6, \
         (accumulated, want)
+
+
+def test_process_stream_matches_process_frame(seq_and_vocab):
+    """The pipelined driver (frame N+1 in flight while frame N's backend
+    work runs) must produce the same trajectory/keyframes as the serial
+    per-frame driver on a healthy sequence."""
+    seq, vocab = seq_and_vocab
+    a = SlamSystem(CFG, vocab=vocab)
+    for i in range(N_FRAMES):
+        a.process_frame(seq["left"][i], seq["right"][i])
+    b = SlamSystem(CFG, vocab=vocab)
+    b.process_stream((seq["left"][i], seq["right"][i])
+                     for i in range(N_FRAMES))
+    ta, tb = a.finish(), b.finish()
+    assert len(a.keyframes) == len(b.keyframes)
+    assert a.n_edges == b.n_edges
+    np.testing.assert_allclose(ta, tb, atol=1e-4)
