@@ -141,12 +141,16 @@ class KltConfig:
 
 @dataclass(frozen=True)
 class QuadMatchConfig:
-    """Geometric gates for circular-track filtering (reference:
-    quadmatcher.cpp:420-503)."""
+    """Geometric gates for circular-track filtering, at the reference's
+    values (filteringTracks, quadmatcher.cpp:435-482: minHeightDif=20,
+    minHeightDif2=30, minWidthDif=200, minDisparity=3, chain-vs-direct
+    consistency < 1 px). Round 2 used a 1 px stereo |dy| — 20x stricter
+    than the reference — which halved the usable match count."""
 
-    max_dy_stereo: float = 1.0        # epipolar |Δy| for stereo pairs
+    max_dy_stereo: float = 20.0       # |lc.y-rc.y|, |lp.y-rp.y| (minHeightDif)
+    max_dy_temporal: float = 30.0     # |lc.y-lp.y|, |rc.y-rp.y| (minHeightDif2)
+    max_dx_temporal: float = 200.0    # |lc.x-lp.x|, |rc.x-rp.x| (minWidthDif)
     min_disparity: float = 3.0        # lc.x - rc.x must exceed this
-    max_flow: float = 100.0           # |flow| bound between frames
     loop_consistency_px: float = 1.0  # ‖lc→...→lp chain − direct lc→lp‖ < 1px
     max_features: int = 512           # static budget for quad-match slots
 

@@ -77,20 +77,26 @@ def quad_match(cur_left: jnp.ndarray, cur_right: jnp.ndarray,
     tracked = (kp.valid & leg_rc.status & leg_rp.status
                & leg_lp.status & direct_lp.status)
 
-    # ---- geometric gates (filteringTracks, quadmatcher.cpp:420-503) ----
-    dy_c = jnp.abs(lc[:, 1] - rc[:, 1])
-    dy_p = jnp.abs(lp[:, 1] - rp[:, 1])
-    disp_c = lc[:, 0] - rc[:, 0]
-    disp_p = lp[:, 0] - rp[:, 0]
-    flow = jnp.linalg.norm(lc - lp, axis=-1)
+    # ---- geometric gates (filteringTracks, quadmatcher.cpp:435-482) ----
+    dy_c = jnp.abs(lc[:, 1] - rc[:, 1])        # dif_height1
+    dy_p = jnp.abs(lp[:, 1] - rp[:, 1])        # dif_height2
+    dy_l = jnp.abs(lc[:, 1] - lp[:, 1])        # dif_height11
+    dy_r = jnp.abs(rc[:, 1] - rp[:, 1])        # dif_height22
+    dx_l = jnp.abs(lc[:, 0] - lp[:, 0])        # dif_width1
+    dx_r = jnp.abs(rc[:, 0] - rp[:, 0])        # dif_width2
+    disp_c = lc[:, 0] - rc[:, 0]               # disparity1
+    disp_p = lp[:, 0] - rp[:, 0]               # disparity2
     closure = jnp.linalg.norm(lp - lp2, axis=-1)
 
     valid = (tracked
              & (dy_c < qcfg.max_dy_stereo)
              & (dy_p < qcfg.max_dy_stereo)
+             & (dy_l < qcfg.max_dy_temporal)
+             & (dy_r < qcfg.max_dy_temporal)
+             & (dx_l < qcfg.max_dx_temporal)
+             & (dx_r < qcfg.max_dx_temporal)
              & (disp_c > qcfg.min_disparity)
              & (disp_p > qcfg.min_disparity)
-             & (flow < qcfg.max_flow)
              & (closure < qcfg.loop_consistency_px))
 
     return QuadMatches(lp=lp, rp=rp, lc=lc, rc=rc, valid=valid)

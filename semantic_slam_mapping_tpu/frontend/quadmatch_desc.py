@@ -36,7 +36,7 @@ def quad_match_desc(cur_left: jnp.ndarray, cur_right: jnp.ndarray,
     f_rp = orb.extract(prev_right, ocfg)
     f_lp = orb.extract(prev_left, ocfg)
 
-    flow = qcfg.max_flow
+    flow = qcfg.max_dx_temporal
     # stereo legs: epipolar window (wide x, tight y); temporal legs: square
     m1 = matching.windowed_match(f_lc.desc, f_lc.xy, f_rc.desc, f_rc.xy,
                                  f_lc.valid, f_rc.valid,
@@ -71,12 +71,14 @@ def quad_match_desc(cur_left: jnp.ndarray, cur_right: jnp.ndarray,
     dy_p = jnp.abs(lp[:, 1] - rp[:, 1])
     disp_c = lc[:, 0] - rc[:, 0]
     disp_p = lp[:, 0] - rp[:, 0]
-    flow_n = jnp.linalg.norm(lc - lp, axis=-1)
+    dy_l = jnp.abs(lc[:, 1] - lp[:, 1])
+    dx_l = jnp.abs(lc[:, 0] - lp[:, 0])
 
     valid = (closed & f_lc.valid
              & (dy_c < qcfg.max_dy_stereo)
              & (dy_p < qcfg.max_dy_stereo)
              & (disp_c > qcfg.min_disparity)
              & (disp_p > qcfg.min_disparity)
-             & (flow_n < qcfg.max_flow))
+             & (dy_l < qcfg.max_dy_temporal)
+             & (dx_l < qcfg.max_dx_temporal))
     return QuadMatches(lp=lp, rp=rp, lc=lc, rc=rc, valid=valid)

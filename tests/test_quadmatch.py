@@ -92,7 +92,9 @@ def test_epipolar_gate_active(stereo_seq):
     """Vertically shifting the right image violates the rectified-epipolar
     assumption; the |dy| gate must collapse the match count."""
     K, seq, _ = stereo_seq
-    shifted = jnp.roll(seq["right"][1], 5, axis=0)
+    # 25 px > the reference's minHeightDif=20 gate (quadmatcher.cpp:435);
+    # small shifts are tolerated exactly as the reference tolerates them
+    shifted = jnp.roll(seq["right"][1], 25, axis=0)
     m = quadmatch.quad_match(
         cur_left=seq["left"][1], cur_right=shifted,
         prev_left=seq["left"][0], prev_right=seq["right"][0])
