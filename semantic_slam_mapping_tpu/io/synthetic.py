@@ -143,16 +143,23 @@ def _value_noise(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 def _texture(p: jnp.ndarray, seed_scale: float = 1.0,
              footprint: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Procedural world texture in [0, 1]: multi-octave interference pattern —
-    smooth enough for LK tracking, busy enough for FAST/GFTT corners.
+    """Procedural world texture in [0, 1]: fractal (multi-octave) value
+    noise — non-periodic and isotropic on EVERY surface orientation, so
+    KLT/GFTT/SGBM see trackable 2D structure at all scales (real KITTI
+    scenes have texture at every scale; earlier sinusoid-interference
+    octaves were periodic along epipolar lines and near-constant along the
+    vertical on box faces, which made chained KLT legs slide — both our
+    tracker and OpenCV's drifted identically on them, tools/probe_klt_ab).
+
+    The height coordinate y is mixed into BOTH noise arguments with O(1)
+    coefficients so vertical surfaces (x or z constant) still get full 2D
+    variation — the old 0.37y/0.29y mixing left near-1D stripes there.
 
     ``footprint`` (meters subtended by one pixel at the hit point, t/fx)
-    enables mip-style level-of-detail: each octave fades out smoothly as the
-    pixel footprint approaches a quarter of its wavelength, the way a real
-    camera integrates sub-pixel detail. Without it, the fine octaves alias
-    into near-single-pixel stripes on distant surfaces — pathological for
-    KLT (aperture ambiguity) and SGBM (periodic-match ambiguity) — which is
-    exactly what broke VO on the golden loop circuit's backdrop-heavy views.
+    enables mip-style level-of-detail: each octave fades out smoothly as
+    the pixel footprint approaches a quarter of its wavelength, the way a
+    real camera integrates sub-pixel detail; without it the fine octaves
+    alias into shimmering single-pixel speckle on distant surfaces.
     """
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
 
@@ -162,17 +169,21 @@ def _texture(p: jnp.ndarray, seed_scale: float = 1.0,
         lam4 = wavelength * 0.25
         return jax.nn.sigmoid((lam4 - footprint) / (wavelength / 12.0))
 
-    v = (0.40 * lod(3.7) * jnp.sin(1.7 * x * seed_scale) * jnp.cos(1.3 * z + 0.7)
-         + 0.25 * lod(1.6) * jnp.sin(3.9 * x + 2.1 * z) * jnp.sin(2.9 * y + 1.1)
-         # value-noise octave: the lattice cell is 1/2.9 m, so the feature
-         # wavelength is two cells = 2/2.9 ≈ 0.69 m (NOT the 2π/2.9 an
-         # angular-frequency reading would give — that kept ~75% amplitude
-         # on the 250 m backdrop where features are ~1 px, re-aliasing KLT)
-         + 0.22 * lod(0.69) * _value_noise(2.9 * x + 0.37 * y, 2.9 * z + 0.29 * y)
-         + 0.20 * lod(0.74) * jnp.sin(8.5 * x - 0.4) * jnp.cos(7.3 * z + 2.2)
-         + 0.10 * lod(0.37) * jnp.sin(17.0 * (x + z)) * jnp.cos(13.0 * (x - y))
-         + 0.05 * lod(0.20) * jnp.sin(31.0 * z + 5.0 * x))
-    return 0.5 + 0.5 * jnp.tanh(1.5 * v)
+    # octaves: (cells/metre, amplitude, phase offsets). Wavelength of one
+    # octave = two lattice cells = 2/freq metres.
+    octaves = (
+        (0.25, 0.40, 0.0, 7.3),
+        (0.70, 0.32, 3.1, 1.7),
+        (2.00, 0.26, 9.2, 4.8),
+        (5.50, 0.20, 1.3, 6.1),
+        (15.0, 0.15, 5.7, 2.9),
+    )
+    u = (x + 0.83 * y) * seed_scale
+    w = z + 0.61 * y
+    v = jnp.zeros_like(x)
+    for f, a, pu, pw in octaves:
+        v = v + a * lod(2.0 / f) * _value_noise(f * u + pu, f * w + pw)
+    return 0.5 + 0.5 * jnp.tanh(1.8 * v)
 
 
 def _intersect_boxes(origin: jnp.ndarray, direction: jnp.ndarray,
@@ -313,21 +324,51 @@ def make_loop_world(key: jax.Array, n_boxes: int = 48, radius: float = 30.0,
     """World for :func:`loop_trajectory`: boxes scattered inside and outside
     the circular corridor (occluding each other along the ring), plus
     ``n_moving`` independently moving vehicles/pedestrians on the ring."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
     ground = jnp.asarray(camera_height, jnp.float32)
-    # ring placement around circle center (radius, 0) in the x-z plane
-    ang = jax.random.uniform(k1, (n_boxes,), minval=0.0,
+    # Street-canyon statistics (KITTI sequences drive between near-
+    # continuous facades): half the boxes form WALL SEGMENTS lining both
+    # sides of the ring — elongated tangentially, nearly touching — so
+    # every view has abundant near-field (disparity > 3) structure; the
+    # rest is random scatter. A sparse ring left views dominated by the
+    # 250 m backdrop, whose corners all fail the min-disparity VO gate.
+    n_wall = n_boxes // 2
+    n_scatter = n_boxes - n_wall
+    # wall segments: alternate inner/outer, evenly spaced around the ring
+    wang = jnp.linspace(0.0, 2.0 * jnp.pi, n_wall, endpoint=False) \
+        + jax.random.uniform(k1, (n_wall,), minval=-0.04, maxval=0.04)
+    w_inner = jnp.arange(n_wall) % 2 == 0
+    wdr = jax.random.uniform(k2, (n_wall,), minval=corridor + 2.0,
+                             maxval=corridor + 5.0)
+    wr = jnp.maximum(jnp.where(w_inner, radius - wdr, radius + wdr), 2.0)
+    wcx = radius - wr * jnp.cos(wang)
+    wcz = wr * jnp.sin(wang)
+    # tangential extent ~ arc spacing (walls nearly touch), radial ~1-2 m
+    seg_len = 2.0 * jnp.pi * radius / n_wall * \
+        jax.random.uniform(k3, (n_wall,), minval=0.45, maxval=0.7)
+    seg_th = jax.random.uniform(k3, (n_wall,), minval=0.5, maxval=1.0)
+    seg_h = jax.random.uniform(k4, (n_wall,), minval=2.5, maxval=5.0)
+    # tangent direction at wang: (sin, cos); box is axis-aligned, so take
+    # the dominant axis extent from the tangent projection
+    tx, tz = jnp.abs(jnp.sin(wang)), jnp.abs(jnp.cos(wang))
+    whx = 0.5 * (seg_len * tx + seg_th * (1 - tx))
+    whz = 0.5 * (seg_len * tz + seg_th * (1 - tz))
+    wall_w = jnp.stack([whx, seg_h * 0.5, whz], axis=-1)
+    wall_boxes = _standing_boxes(wcx, wcz, wall_w, ground)
+
+    ang = jax.random.uniform(k5, (n_scatter,), minval=0.0,
                              maxval=2.0 * jnp.pi)
-    inner = jax.random.bernoulli(k2, 0.5, (n_boxes,))
-    dr = jax.random.uniform(k3, (n_boxes,), minval=corridor + 1.5,
+    inner = jax.random.bernoulli(k6, 0.5, (n_scatter,))
+    dr = jax.random.uniform(k7, (n_scatter,), minval=corridor + 1.5,
                             maxval=corridor + 13.0)
     r = jnp.where(inner, radius - dr, radius + dr)
     r = jnp.maximum(r, 2.0)
     cx = radius - r * jnp.cos(ang)
     cz = r * jnp.sin(ang)
-    w = jax.random.uniform(k4, (n_boxes, 3), minval=1.0, maxval=4.0)
+    w = jax.random.uniform(k4, (n_scatter, 3), minval=1.0, maxval=4.0)
     w = w * jnp.array([1.0, 1.5, 1.0])
-    boxes = _standing_boxes(cx, cz, w, ground)
+    boxes = jnp.concatenate([wall_boxes,
+                             _standing_boxes(cx, cz, w, ground)], 0)
     box_class = jnp.full((n_boxes,), CLASS_BUILDING, jnp.int32)
     vel = jnp.zeros((n_boxes, 3), jnp.float32)
 

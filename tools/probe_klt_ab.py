@@ -79,8 +79,9 @@ def main():
 
     # ---- ground truth ----
     ui, vi = pts[:, 0], pts[:, 1]
-    z = cv2.remap(cur_d, ui.astype(np.float32), vi.astype(np.float32),
-                  cv2.INTER_LINEAR)[:, 0]
+    z = cv2.remap(cur_d, ui.astype(np.float32).reshape(-1, 1),
+                  vi.astype(np.float32).reshape(-1, 1),
+                  cv2.INTER_LINEAR).reshape(-1)
     fx, cx, cy = float(K.fx), float(K.cx), float(K.cy)
     bf = fx * float(K.baseline)
     disp_gt = bf / np.maximum(z, 1e-3)
