@@ -139,18 +139,17 @@ def run_e2e_bench(jax, n_frames: int = 40):
                                 branching=10, depth=3)
     system = SlamSystem(cfg, vocab=vocab, enable_mapping=True)
 
-    def feed(i):
+    def item(i):
         g = (np.clip(left[i], 0, 1) * 255).astype(np.uint8)
-        system.process_frame(left[i], right[i],
-                             color=np.stack([g] * 3, -1), semantic=sem[i])
+        return (left[i], right[i], np.stack([g] * 3, -1), sem[i])
 
+    # pipelined driver (frame N+1's frontend in flight during frame N's
+    # keyframe/backend work) — the deployment mode for sequences
     t0 = time.time()
-    for i in range(WARM):
-        feed(i)
+    system.process_stream(item(i) for i in range(WARM))
     compile_s = time.time() - t0
     t0 = time.time()
-    for i in range(WARM, WARM + n_frames):
-        feed(i)
+    system.process_stream(item(i) for i in range(WARM, WARM + n_frames))
     dt = time.time() - t0
     counters = dict(keyframes=len(system.keyframes),
                     edges=system.n_edges,
@@ -241,6 +240,10 @@ def main():
     ap.add_argument("--scaling", action="store_true",
                     help="analyze multi-chip scaling of the sharded "
                          "frontend on an 8-device virtual mesh")
+    ap.add_argument("--full", action="store_true", default=True,
+                    help="append e2e fps and scaling efficiency to the "
+                         "headline JSON line (default)")
+    ap.add_argument("--frontend-only", dest="full", action="store_false")
     args = ap.parse_args()
 
     jax = _setup_jax(cpu=args.measure_cpu_baseline or args.scaling)
@@ -288,17 +291,42 @@ def main():
                           "vs_baseline": 1.0}))
         return
 
-    vs = None
+    base = None
     if BASELINE_FILE.exists():
         base = json.loads(BASELINE_FILE.read_text()).get("cpu_fps")
-        if base:
-            vs = fps / base
-    print(json.dumps({
+    rec = {
         "metric": "frontend_frames_per_s",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(vs, 3) if vs else 0.0,
-    }))
+        "vs_baseline": round(fps / base, 3) if base else 0.0,
+    }
+
+    if args.full:
+        # one artifact with all three headline metrics (frontend fps,
+        # e2e fps, scaling efficiency) — VERDICT r2 item 7
+        try:
+            e2e_fps, e2e_compile_s, counters = run_e2e_bench(jax, 40)
+            rec["e2e_frames_per_s"] = round(e2e_fps, 3)
+            rec["e2e_vs_baseline"] = (round(e2e_fps / base, 3)
+                                      if base else 0.0)
+            rec["e2e_counters"] = counters
+            print(f"# e2e compile+warmup {e2e_compile_s:.1f}s",
+                  file=sys.stderr)
+        except Exception as e:  # record the failure, keep the headline
+            rec["e2e_error"] = repr(e)[:200]
+        try:
+            import subprocess
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling"], env=env,
+                capture_output=True, text=True, timeout=3600)
+            sc = json.loads(out.stdout.strip().splitlines()[-1])
+            rec["scaling_efficiency"] = sc["value"]
+            rec["scaling_method"] = sc.get("method", "")
+        except Exception as e:
+            rec["scaling_error"] = repr(e)[:200]
+
+    print(json.dumps(rec))
     print(f"# compile+warmup {compile_s:.1f}s, vo_success {n_ok}/{n}, "
           f"device {jax.devices()[0].platform}", file=sys.stderr)
 

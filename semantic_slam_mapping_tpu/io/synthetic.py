@@ -170,13 +170,19 @@ def _texture(p: jnp.ndarray, seed_scale: float = 1.0,
         return jax.nn.sigmoid((lam4 - footprint) / (wavelength / 12.0))
 
     # octaves: (cells/metre, amplitude, phase offsets). Wavelength of one
-    # octave = two lattice cells = 2/freq metres.
+    # octave = two lattice cells = 2/freq metres. Amplitude INCREASES with
+    # frequency (asphalt grain / brick detail is the high-contrast content
+    # of street scenes): near surfaces, where the fine octaves survive the
+    # LOD, score far higher GFTT response than distant ones — so the
+    # fixed-budget detector fills with near-field (usable-disparity)
+    # corners, matching real KITTI corner statistics.
     octaves = (
-        (0.25, 0.40, 0.0, 7.3),
-        (0.70, 0.32, 3.1, 1.7),
-        (2.00, 0.26, 9.2, 4.8),
-        (5.50, 0.20, 1.3, 6.1),
-        (15.0, 0.15, 5.7, 2.9),
+        (0.25, 0.16, 0.0, 7.3),
+        (0.70, 0.20, 3.1, 1.7),
+        (2.00, 0.24, 9.2, 4.8),
+        (5.50, 0.30, 1.3, 6.1),
+        (15.0, 0.36, 5.7, 2.9),
+        (40.0, 0.36, 8.4, 0.6),
     )
     u = (x + 0.83 * y) * seed_scale
     w = z + 0.61 * y
@@ -320,7 +326,11 @@ def loop_trajectory(n_frames: int, radius: float = 30.0,
 
 def make_loop_world(key: jax.Array, n_boxes: int = 48, radius: float = 30.0,
                     camera_height: float = 1.65, corridor: float = 3.5,
-                    n_moving: int = 0, backdrop_z: float = 250.0) -> World:
+                    n_moving: int = 0, backdrop_z: float = 1500.0) -> World:
+    # backdrop at 1.5 km: far enough that mip LOD flattens its texture, so
+    # GFTT's relative quality gate prunes backdrop corners instead of
+    # letting them crowd out the near-field features VO can actually use
+    # (min-disparity gate, vo_stereo.cpp via quadmatcher filtering)
     """World for :func:`loop_trajectory`: boxes scattered inside and outside
     the circular corridor (occluding each other along the ring), plus
     ``n_moving`` independently moving vehicles/pedestrians on the ring."""
