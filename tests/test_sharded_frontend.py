@@ -72,3 +72,28 @@ def test_sharded_output_shardings(window):
     disp_shards = r2.disparity.addressable_shards
     assert len(disp_shards) == 8
     assert all(s.data.shape[0] == 1 for s in disp_shards)
+
+
+def test_slam_system_e2e_on_mesh(window):
+    """Deployment of the sharded frontend (VERDICT r2 item 3): a
+    SlamSystem constructed with a Mesh routes process_window through
+    track_frames_sharded; trajectory and keyframe decisions must match the
+    single-device batched system."""
+    from semantic_slam_mapping_tpu.pipeline import SlamSystem
+    import dataclasses
+    K, seq = window
+    cfg = dataclasses.replace(
+        CFG, pose_graph=dataclasses.replace(
+            CFG.pose_graph, max_keyframes=32, pcg_iters=20,
+            keyframe_min_translation=1.0))
+    mesh = pmesh.make_mesh(dp=8, tp=1)
+
+    a = SlamSystem(cfg, mesh=mesh, seed=3)
+    a.process_window(seq["left"], seq["right"])
+    b = SlamSystem(cfg, seed=3)
+    b.process_window(seq["left"], seq["right"])
+
+    assert a.frame_count == b.frame_count == 9
+    assert len(a.keyframes) == len(b.keyframes) >= 1
+    np.testing.assert_allclose(np.stack(a.trajectory),
+                               np.stack(b.trajectory), atol=5e-2)
