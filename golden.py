@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--round", type=int, default=0,
                     help="round number for the GOLDEN_r{N}.json artifact")
     ap.add_argument("--no-mapping", action="store_true")
+    ap.add_argument("--gt-semantics", action="store_true",
+                    help="feed ground-truth labels instead of running the "
+                         "shipped SegNet online (the default exercises "
+                         "LEARNED semantics end-to-end, VERDICT r2 item 4)")
     args = ap.parse_args()
 
     os.makedirs(REPO / ".jax_cache", exist_ok=True)
@@ -101,6 +105,17 @@ def main():
     print(f"vocab: {vocab.n_leaves} leaves in {time.time() - t0:.1f}s",
           flush=True)
 
+    ckpt = (REPO / "semantic_slam_mapping_tpu" / "models" / "weights"
+            / "segnet.pkl")
+    use_learned = not args.gt_semantics and ckpt.exists()
+    if use_learned:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, segnet=dataclasses.replace(
+            cfg.segnet, online=True, weights=str(ckpt)))
+        print("semantics: LEARNED (online SegNet, shipped checkpoint)",
+              flush=True)
+    else:
+        print("semantics: ground-truth labels", flush=True)
     system = SlamSystem(cfg, vocab=vocab,
                         enable_mapping=not args.no_mapping)
     t0 = time.time()
@@ -112,7 +127,8 @@ def main():
         for i in range(F):
             yield (left[i].astype(jnp.float32),
                    right[i].astype(jnp.float32),
-                   None, sem[i])   # int8 labels; the mapper casts on device
+                   None,
+                   None if use_learned else sem[i])
             if system.n_global_optimizations > 0 and mid_run_global is None:
                 mid_run_global = i
             if (i + 1) % 100 == 0:
@@ -131,9 +147,19 @@ def main():
 
     ate = metrics.absolute_trajectory_error(traj, gt)
     rpe_t, rpe_r = metrics.relative_pose_error(traj, gt)
+    sem_acc = None
+    if use_learned and system.keyframes:
+        accs = [float(np.mean(np.asarray(k.semantic)
+                              == np.asarray(sem[k.frame_index],
+                                            np.int32)))
+                for k in system.keyframes if k.semantic is not None]
+        sem_acc = round(float(np.mean(accs)), 4) if accs else None
+
     rec = {
         "sequence": f"golden-loop r={RADIUS} laps={LAPS} "
                     f"moving={N_MOVING} pitch={PITCH_AMP}",
+        "semantics": "learned-online" if use_learned else "ground-truth",
+        "semantic_label_accuracy_vs_gt": sem_acc,
         "frames": F,
         "resolution": [H, W],
         "ate_rmse_m": round(float(ate.rmse), 4),

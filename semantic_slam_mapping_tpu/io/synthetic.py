@@ -260,9 +260,7 @@ def render(K: Intrinsics, T_w_c: jnp.ndarray, world: World,
     # rays that hit nothing get a finite dummy (overwritten by sky below)
     footprint = jnp.where(jnp.isfinite(t_hit), t_hit, 0.0) / K.fx
     intensity = _texture(p_world, footprint=footprint)
-    # sky: rays that hit nothing (looking up) — flat low intensity
     sky = ~jnp.isfinite(t_hit)
-    intensity = jnp.where(sky, 0.55, intensity)
 
     box_sem = (world.box_class[box_id] if world.box_class.shape[0] > 0
                else jnp.full((height, width), CLASS_BUILDING, jnp.int32))
@@ -270,6 +268,26 @@ def render(K: Intrinsics, T_w_c: jnp.ndarray, world: World,
         prim == 0, CLASS_ROAD,
         jnp.where(prim == 1, CLASS_BUILDING, box_sem))
     semantic = jnp.where(sky, CLASS_SKY, semantic).astype(jnp.int32)
+
+    # class-correlated albedo (gain, bias): real scenes separate classes by
+    # APPEARANCE, not just layout — asphalt is dark and matte, vehicle
+    # paint is low-contrast mid-grey, clothing is dark. Without this every
+    # class shared one texture and the segmenter could only learn layout
+    # priors (static pedestrians were labeled Vehicle). Texture detail is
+    # preserved under each affine, so VO/KLT statistics stay KITTI-like.
+    gain = jnp.full_like(intensity, 1.0)
+    bias = jnp.zeros_like(intensity)
+    # bands chosen to overlap as little as real albedo statistics allow:
+    # road 0.25-0.70, vehicle 0.45-0.75, pedestrian 0.02-0.27, building 0-1
+    for cls, g, b in ((CLASS_ROAD, 0.45, 0.25),
+                      (CLASS_CAR, 0.30, 0.45),
+                      (CLASS_PEDESTRIAN, 0.25, 0.02)):
+        sel = semantic == cls
+        gain = jnp.where(sel, g, gain)
+        bias = jnp.where(sel, b, bias)
+    intensity = jnp.clip(bias + gain * intensity, 0.0, 1.0)
+    # sky: rays that hit nothing (looking up) — flat low intensity
+    intensity = jnp.where(sky, 0.55, intensity)
 
     # camera-frame depth (z along optical axis), not ray length
     p_cam = se3.transform_points(se3.inverse(T_w_c),

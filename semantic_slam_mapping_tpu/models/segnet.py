@@ -183,13 +183,22 @@ def miou(pred: jnp.ndarray, gt: jnp.ndarray, num_classes: int,
 
 
 def save_checkpoint(path, cfg: SegNetConfig, params, batch_stats,
-                    meta: Optional[dict] = None) -> None:
-    """Pickle params + batch_stats + enough config to rebuild the model."""
+                    meta: Optional[dict] = None,
+                    store_dtype=None) -> None:
+    """Pickle params + batch_stats + enough config to rebuild the model.
+    ``store_dtype`` (e.g. np.float16) halves shipped-artifact size; the
+    loader restores float32 (inference runs bf16 regardless)."""
+    import numpy as np
     import pickle
+    cast = ((lambda x: np.asarray(x).astype(store_dtype)
+             if np.issubdtype(np.asarray(x).dtype, np.floating) else
+             np.asarray(x))
+            if store_dtype is not None else (lambda x: np.asarray(x)))
     with open(path, "wb") as f:
         pickle.dump({
-            "params": jax.device_get(params),
-            "batch_stats": jax.device_get(batch_stats),
+            "params": jax.tree_util.tree_map(cast, jax.device_get(params)),
+            "batch_stats": jax.tree_util.tree_map(
+                cast, jax.device_get(batch_stats)),
             "num_classes": cfg.num_classes,
             "width_mult": cfg.width_mult,
             "dtype": cfg.dtype,
@@ -199,6 +208,7 @@ def save_checkpoint(path, cfg: SegNetConfig, params, batch_stats,
 
 def load_checkpoint(path):
     """Returns (model, variables, meta) from a save_checkpoint pickle."""
+    import numpy as np
     import pickle
     with open(path, "rb") as f:
         d = pickle.load(f)
@@ -207,7 +217,12 @@ def load_checkpoint(path):
                                                "bfloat16") == "bfloat16"
                    else jnp.float32,
                    width_mult=d.get("width_mult", 1.0))
-    variables = {"params": d["params"], "batch_stats": d["batch_stats"]}
+    up = lambda x: (np.asarray(x).astype(np.float32)    # noqa: E731
+                    if np.issubdtype(np.asarray(x).dtype, np.floating)
+                    else np.asarray(x))
+    variables = {"params": jax.tree_util.tree_map(up, d["params"]),
+                 "batch_stats": jax.tree_util.tree_map(
+                     up, d["batch_stats"])}
     return model, variables, d.get("meta", {})
 
 

@@ -784,7 +784,11 @@ class SlamSystem:
         from semantic_slam_mapping_tpu.ops.image import (resize_bilinear,
                                                          resize_nearest)
         model, variables = self._segnet
-        img = (jnp.asarray(color, jnp.float32) if color is not None
+        # color keyframes are uint8 [0,255] (Keyframe contract); the model
+        # is trained on [0,1] floats — unnormalized input silently produced
+        # garbage labels in the online path
+        img = (jnp.asarray(color, jnp.float32) / 255.0
+               if color is not None
                else jnp.broadcast_to(jnp.asarray(left, jnp.float32)[..., None],
                                      left.shape + (3,)))
         H0, W0 = img.shape[:2]
