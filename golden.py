@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--round", type=int, default=0,
                     help="round number for the GOLDEN_r{N}.json artifact")
     ap.add_argument("--no-mapping", action="store_true")
+    ap.add_argument("--nearby", type=int, default=None,
+                    help="override pose_graph.nearby_keyframes (bisect aid)")
     ap.add_argument("--gt-semantics", action="store_true",
                     help="feed ground-truth labels instead of running the "
                          "shipped SegNet online (the default exercises "
@@ -64,6 +66,10 @@ def main():
     from semantic_slam_mapping_tpu.utils import metrics
 
     cfg = default_config()
+    if args.nearby is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, pose_graph=dataclasses.replace(
+            cfg.pose_graph, nearby_keyframes=args.nearby))
     K = Intrinsics.from_config(cfg.camera)
     F = args.frames
 
@@ -147,6 +153,7 @@ def main():
 
     ate = metrics.absolute_trajectory_error(traj, gt)
     rpe_t, rpe_r = metrics.relative_pose_error(traj, gt)
+    np.savez(REPO / f"golden_traj_r{args.round:02d}.npz", est=traj, gt=gt)
     sem_acc = None
     if use_learned and system.keyframes:
         accs = [float(np.mean(np.asarray(k.semantic)

@@ -113,7 +113,23 @@ def optimize(graph: PoseGraph, free_mask: jnp.ndarray,
     M = graph.poses.shape[0]
     free = (free_mask & graph.vertex_valid).astype(jnp.float32)[:, None]
 
-    def gn_step(poses, _):
+    def robust_cost(poses):
+        g = graph._replace(poses=poses)
+        r = edge_residuals(g)
+        rn2 = graph.edge_info * jnp.sum(r * r, axis=-1)
+        rn = jnp.sqrt(rn2 + 1e-12)
+        d = cfg.huber_delta
+        # Huber cost: quadratic core, linear tail
+        c = jnp.where(rn <= d, rn2, 2.0 * d * rn - d * d)
+        return jnp.sum(jnp.where(graph.edge_valid, c, 0.0))
+
+    def lm_step(carry, _):
+        # Levenberg-Marquardt (the reference's OptimizationAlgorithmLevenberg,
+        # pose_graph.h:62): undamped Gauss-Newton DIVERGED on curved
+        # keyframe chains with noisy wide-baseline nearby edges (vertices
+        # moved >100 m in one solve); the damped step with accept/reject
+        # keeps every iteration cost-decreasing.
+        poses, lam = carry
         g = graph._replace(poses=poses)
         r, J_i, J_j = _edge_jacobians(g)
         w = _robust_weights(r, graph.edge_info, cfg.huber_delta) \
@@ -121,8 +137,16 @@ def optimize(graph: PoseGraph, free_mask: jnp.ndarray,
 
         ei, ej = graph.edge_i, graph.edge_j
 
+        # block-Jacobi diagonal (also the LM damping metric)
+        Hi = jnp.einsum("eri,erj->eij", J_i, J_i * w[:, None, None],
+                        precision=jax.lax.Precision.HIGHEST)
+        Hj = jnp.einsum("eri,erj->eij", J_j, J_j * w[:, None, None],
+                        precision=jax.lax.Precision.HIGHEST)
+        blocks = jnp.zeros((M, 6, 6)).at[ei].add(Hi).at[ej].add(Hj)
+        diag = jnp.diagonal(blocks, axis1=-2, axis2=-1)        # (M, 6)
+
         def matvec(x):
-            """x: (M, 6) -> (J^T W J) x, with fixed vertices projected out."""
+            """x: (M,6) -> (J^T W J + lam diag) x, fixed vertices projected."""
             xf = x * free
             y = (jnp.einsum("erk,ek->er", J_i, xf[ei],
                             precision=jax.lax.Precision.HIGHEST)
@@ -134,8 +158,8 @@ def optimize(graph: PoseGraph, free_mask: jnp.ndarray,
                 "erk,er->ek", J_i, y, precision=jax.lax.Precision.HIGHEST))
             out = out.at[ej].add(jnp.einsum(
                 "erk,er->ek", J_j, y, precision=jax.lax.Precision.HIGHEST))
-            # small Tikhonov keeps the system SPD on under-constrained slots
-            return (out + 1e-6 * x) * free
+            damp = lam * (diag + 1e-6) * xf
+            return (out + damp + 1e-6 * x) * free
 
         # gradient b = -J^T W r
         wr = r * w[:, None]
@@ -146,14 +170,9 @@ def optimize(graph: PoseGraph, free_mask: jnp.ndarray,
                                     precision=jax.lax.Precision.HIGHEST))
         b = -b * free
 
-        # block-Jacobi preconditioner: per-vertex 6x6 diagonal blocks
-        Hi = jnp.einsum("eri,erj->eij", J_i, J_i * w[:, None, None],
-                        precision=jax.lax.Precision.HIGHEST)
-        Hj = jnp.einsum("eri,erj->eij", J_j, J_j * w[:, None, None],
-                        precision=jax.lax.Precision.HIGHEST)
-        blocks = jnp.zeros((M, 6, 6)).at[ei].add(Hi).at[ej].add(Hj)
-        blocks = blocks + 1e-5 * jnp.eye(6)
-        pre = jnp.linalg.inv(blocks)
+        pre_blocks = blocks + (lam * (diag + 1e-6))[:, :, None] \
+            * jnp.eye(6) + 1e-5 * jnp.eye(6)
+        pre = jnp.linalg.inv(pre_blocks)
 
         def apply_pre(v):
             return jnp.einsum("mij,mj->mi", pre, v,
@@ -180,20 +199,31 @@ def optimize(graph: PoseGraph, free_mask: jnp.ndarray,
         (dx, *_), _ = jax.lax.scan(pcg_body, (x0, r0, z0, p0), None,
                                    length=cfg.pcg_iters)
         dx = jnp.clip(dx, -1.0, 1.0)  # trust region on the se3 step
-        new_poses = se3.compose(se3.exp(dx), poses)
-        new_poses = jnp.where((free > 0)[..., None], new_poses, poses)
-        return new_poses, None
+        cand = se3.compose(se3.exp(dx), poses)
+        cand = jnp.where((free > 0)[..., None], cand, poses)
+        # accept/reject (LM): only cost-decreasing steps are kept
+        accept = robust_cost(cand) < robust_cost(poses)
+        poses_new = jnp.where(accept, cand, poses)
+        lam_new = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
+                            jnp.minimum(lam * 8.0, 1e4))
+        return (poses_new, lam_new), None
 
-    poses, _ = jax.lax.scan(gn_step, graph.poses, None, length=iters)
+    (poses, _), _ = jax.lax.scan(lm_step, (graph.poses, jnp.float32(1e-2)),
+                                 None, length=iters)
     return graph._replace(poses=se3.orthonormalize(poses))
 
 
 def local_free_mask(graph: PoseGraph, n_vertices: jnp.ndarray,
                     window: int) -> jnp.ndarray:
     """Free only the last ``window`` valid vertices (local optimize,
-    pose_graph.cpp:269-291)."""
+    pose_graph.cpp:269-291). Vertex 0 stays FIXED even when the window
+    covers the whole graph: with every vertex free the relative-edge
+    system loses its gauge and the damped solver can drift the entire
+    graph wholesale — an early all-free local optimization offset a whole
+    golden run by ~24 m (constant ATE, tiny RPE) before this guard."""
     idx = jnp.arange(graph.poses.shape[0])
-    return (idx >= n_vertices - window) & (idx < n_vertices)
+    return ((idx >= jnp.maximum(n_vertices - window, 1))
+            & (idx < n_vertices))
 
 
 def global_free_mask(graph: PoseGraph) -> jnp.ndarray:

@@ -234,6 +234,14 @@ class PoseGraphConfig:
     local_window: int = 5             # vertices left free in local optimize
     global_iters: int = 10            # LM iterations for global optimize
     information_weight: float = 100.0 # edge information = 100·I (pose_graph.cpp:58)
+    # DEVIATION from the reference's uniform 100·I: nearby-keyframe
+    # re-measures span 5.5-27 m baselines (up to ~50 deg heading change on
+    # a curved circuit) and carry ~10x the odometry-chain error over the
+    # same span; weighting them like odometry random-walks the graph
+    # (measured: golden ATE 0.35 m -> 17 m when strong texture made the
+    # re-measures fire on every pair). Odometry + verified loop edges keep
+    # the reference weight.
+    nearby_information_weight: float = 1.0
     huber_delta: float = 1.0
     # PCG linear solver (replaces Cholmod; SURVEY.md §2.2 g2o row)
     pcg_iters: int = 100

@@ -463,7 +463,7 @@ class SlamSystem:
         return kf
 
     # ------------------------------------------------------------------
-    def _add_edge(self, i, j, T_rel, is_loop, chi2=0.0):
+    def _add_edge(self, i, j, T_rel, is_loop, chi2=0.0, info=None):
         e = self.n_edges
         if e >= self.graph.edge_T.shape[0]:
             log.warning("edge budget exhausted; dropping edge")
@@ -471,7 +471,9 @@ class SlamSystem:
         self.graph.edge_i[e] = i
         self.graph.edge_j[e] = j
         self.graph.edge_T[e] = np.asarray(T_rel, np.float32)
-        self.graph.edge_info[e] = self.cfg.pose_graph.information_weight
+        self.graph.edge_info[e] = (
+            info if info is not None
+            else self.cfg.pose_graph.information_weight)
         self.graph.edge_valid[e] = True
         self.graph.edge_is_loop[e] = is_loop
         self.n_edges += 1
@@ -584,8 +586,11 @@ class SlamSystem:
             # their accumulators anyway (:239-296).
             r = np.asarray(se3.log(jnp.asarray(
                 (np.linalg.inv(T_rel) @ T_odo).astype(np.float32))))
-            chi2 = float(self.cfg.pose_graph.information_weight * (r @ r))
-            self._add_edge(ref.kf_id, kf.kf_id, T_rel, is_loop, chi2)
+            info = (self.cfg.pose_graph.information_weight if is_loop
+                    else self.cfg.pose_graph.nearby_information_weight)
+            chi2 = float(info * (r @ r))
+            self._add_edge(ref.kf_id, kf.kf_id, T_rel, is_loop, chi2,
+                           info=info)
             added += 1
         return added
 

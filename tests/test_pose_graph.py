@@ -130,3 +130,16 @@ def test_huber_softens_bad_edge():
     e_quad = pose_err(out_quad.poses[:n], g.poses[:n])
     assert e_quad > 1.0          # quadratic: metres of damage
     assert e_huber < 0.5 * e_quad, (e_huber, e_quad)
+
+
+def test_local_free_mask_keeps_gauge():
+    """An all-free local window would make the relative-edge system
+    gauge-free (the solver can drift the whole graph); vertex 0 must stay
+    fixed even when n_vertices <= window."""
+    import jax.numpy as jnp
+    g = pg.PoseGraph.empty(8, 8)
+    for n in (1, 2, 4, 5, 8):
+        m = np.asarray(pg.local_free_mask(g, jnp.int32(n), 5))
+        assert not m[0], f"v0 free at n={n}"
+        if n > 1:
+            assert m[n - 1]
