@@ -447,7 +447,9 @@ class SlamSystem:
             left=np.asarray(left_dev := jnp.asarray(left, jnp.float16)),
             right=np.asarray(right_dev := jnp.asarray(right, jnp.float16)),
             color=(np.asarray(color) if color is not None else None),
-            semantic=(np.asarray(semantic) if semantic is not None else None),
+            # labels fit int8 (12 classes): 4x smaller readback and store
+            semantic=(np.asarray(jnp.asarray(semantic, jnp.int8))
+                      if semantic is not None else None),
             disparity=np.asarray(disp_dev := jnp.asarray(out.disparity,
                                                          jnp.float16)),
             left_dev=left_dev, right_dev=right_dev,
@@ -512,8 +514,6 @@ class SlamSystem:
         kf_desc = jnp.asarray(kf.feat_desc)
         kf_xy = jnp.asarray(kf.feat_xy)
         kf_val = jnp.asarray(kf.feat_valid)
-        kf_left = _dev_img(kf, "left").astype(jnp.float32)
-        kf_right = _dev_img(kf, "right").astype(jnp.float32)
 
         infos = jax.vmap(
             lambda d, x, v, Ti: pnp_mod.solve_pnp_lazy(
@@ -521,15 +521,26 @@ class SlamSystem:
                 self.cfg.pnp, self.cfg.orb.knn_match_ratio))(
             desc_r, xyz_r, val_r, T_init)
 
-        m = jax.vmap(lambda pl_, pr_: quadmatch.quad_match(
-            cur_left=kf_left, cur_right=kf_right,
-            prev_left=pl_, prev_right=pr_,
-            qcfg=self.cfg.quadmatch, gcfg=self.cfg.gftt,
-            kcfg=self.cfg.klt))(left_r, right_r)
-        self.key, k = jax.random.split(self.key)
-        keys = jax.random.split(k, nb)
-        res = jax.vmap(lambda mm, kk: vo.estimate_motion(
-            mm, self.K, kk, self.cfg.vo))(m, keys)
+        # the expensive quad-match/VO re-measure runs only for LOOP
+        # candidates (where it is the geometric verification that keeps
+        # spurious edges out). Nearby edges are weighted at
+        # nearby_information_weight (~1% of odometry), so refining their
+        # measurement from PnP- to VO-grade precision cannot affect the
+        # optimum — the reference's unconditional re-measure
+        # (pose_graph.cpp:137-158) bought precision the uniform-information
+        # graph needed, ours does not.
+        if is_loop:
+            kf_left = _dev_img(kf, "left").astype(jnp.float32)
+            kf_right = _dev_img(kf, "right").astype(jnp.float32)
+            m = jax.vmap(lambda pl_, pr_: quadmatch.quad_match(
+                cur_left=kf_left, cur_right=kf_right,
+                prev_left=pl_, prev_right=pr_,
+                qcfg=self.cfg.quadmatch, gcfg=self.cfg.gftt,
+                kcfg=self.cfg.klt))(left_r, right_r)
+            self.key, k = jax.random.split(self.key)
+            keys = jax.random.split(k, nb)
+            res = jax.vmap(lambda mm, kk: vo.estimate_motion(
+                mm, self.K, kk, self.cfg.vo))(m, keys)
 
         # Edge acceptance mirrors the reference (pose_graph.cpp:126-179):
         # the PnP gate alone decides whether an edge exists; the viso
@@ -543,17 +554,18 @@ class SlamSystem:
         # behavior we gate the overwrite on agreement with the PnP pose,
         # since a wide-baseline KLT "success" is not trustworthy.
         ok = np.asarray(infos.success) & ref_valid
-        viso_ok = np.asarray(res.success)
         pnp_inl = np.asarray(infos.n_inliers)
-        T_viso = np.asarray(jax.vmap(se3.inverse)(res.T_delta))
         T_pnp = np.asarray(jax.vmap(se3.inverse)(infos.T))
+        if is_loop:
+            viso_ok = np.asarray(res.success)
+            T_viso = np.asarray(jax.vmap(se3.inverse)(res.T_delta))
         added = 0
         for i in range(n):
             if not ok[i]:
                 continue
             ref = refs[i]
             use_viso = False
-            if viso_ok[i]:
+            if is_loop and viso_ok[i]:
                 d = np.linalg.inv(T_viso[i]) @ T_pnp[i]
                 dt = float(np.linalg.norm(d[:3, 3]))
                 dr = float(np.arccos(np.clip(
@@ -644,17 +656,41 @@ class SlamSystem:
         cfg = self.cfg.pose_graph
         n = len(self.keyframes)
         did = False
+
         def to_device():
-            return jax.tree_util.tree_map(jnp.asarray, self.graph)
+            # pow2-bucketed VIEW of the live graph region: the PCG program
+            # compiles once per size bucket and runs on ~n vertices instead
+            # of the full max_keyframes padding (2048 slots cost ~1.1 s per
+            # optimize call; bucketed, ~0.2 s)
+            nv = 64
+            while nv < n:
+                nv *= 2
+            ne = 128
+            while ne < self.n_edges:
+                ne *= 2
+            nv = min(nv, self.graph.poses.shape[0])
+            ne = min(ne, self.graph.edge_T.shape[0])
+            return pg.PoseGraph(
+                poses=jnp.asarray(self.graph.poses[:nv]),
+                vertex_valid=jnp.asarray(self.graph.vertex_valid[:nv]),
+                edge_i=jnp.asarray(self.graph.edge_i[:ne]),
+                edge_j=jnp.asarray(self.graph.edge_j[:ne]),
+                edge_T=jnp.asarray(self.graph.edge_T[:ne]),
+                edge_info=jnp.asarray(self.graph.edge_info[:ne]),
+                edge_valid=jnp.asarray(self.graph.edge_valid[:ne]),
+                edge_is_loop=jnp.asarray(self.graph.edge_is_loop[:ne]))
+
+        def write_back(g):
+            # np.array (not asarray): a zero-copy view of a jax buffer
+            # is read-only; graph storage must stay host-mutable.
+            nv = g.poses.shape[0]
+            self.graph.poses[:nv] = np.array(g.poses, np.float32)
 
         if force_global or self.loop_error > cfg.loop_accumulate_error:
             g = to_device()
             g = pg.optimize(g, pg.global_free_mask(g), cfg,
                             iters=cfg.global_iters)
-            # np.array (not asarray): a zero-copy view of a jax buffer
-            # is read-only; graph storage must stay host-mutable.
-            self.graph = self.graph._replace(
-                poses=np.array(g.poses, np.float32))
+            write_back(g)
             self.loop_error = 0.0
             self.local_error = 0.0
             did = True
@@ -664,8 +700,7 @@ class SlamSystem:
             g = to_device()
             mask = pg.local_free_mask(g, jnp.int32(n), cfg.local_window)
             g = pg.optimize(g, mask, cfg, iters=5)
-            self.graph = self.graph._replace(
-                poses=np.array(g.poses, np.float32))
+            write_back(g)
             self.local_error = 0.0
             did = True
             self.n_local_optimizations += 1
