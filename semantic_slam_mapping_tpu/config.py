@@ -93,7 +93,14 @@ class SgbmConfig:
     # speckle-filter CC label-propagation sweeps: 4 converges worst-case
     # serpentine topologies (3 splits them and invalidates good disparity)
     speckle_cc_sweeps: int = 4
-    use_pallas: bool = False   # opt-in Pallas SGM kernel (axon remote-compile of it is currently pathologically slow; lax.scan path is within ~15% anyway)
+    # Pallas SGM path-aggregation kernel (ops/pallas/sgm_pallas.py), ON by
+    # default on TPU (VERDICT r2 item 5 decision): measured 95.3 vs
+    # 101.1 ms full-SGBM on the v5e (tools/bench_sgm.py), and the kernel
+    # runs the EXACT full-length recurrence where the scan path uses
+    # blocked-halo restarts (scan_block/scan_halo) to parallelize. The r2
+    # "pathologically slow compile" no longer reproduces (23 s, cached).
+    # CPU/interpret stays on the scan path.
+    use_pallas: bool = True
     # cost-volume / scan dtype: "bfloat16" (default; ~0.4% rounding, far
     # below the P1 quantum, half the HBM traffic) or "float32" (exact)
     cost_dtype: str = "bfloat16"

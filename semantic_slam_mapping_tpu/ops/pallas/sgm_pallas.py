@@ -27,7 +27,10 @@ def _sgm_dir_kernel(cost_ref, out_ref, carry_ref, *, p1: float, p2: float):
     """One grid step = one scan row. cost_ref/out_ref: (1, X, D) VMEM
     blocks; carry_ref: (X, D) VMEM scratch persisting across grid steps."""
     i = pl.program_id(0)
-    c = cost_ref[0]
+    # f32 accumulation over a (possibly bf16) cost volume: the running
+    # path costs live in the f32 VMEM scratch; only the HBM-resident
+    # volume and output keep the compact dtype
+    c = cost_ref[0].astype(jnp.float32)
     big = jnp.float32(1e9)
 
     @pl.when(i == 0)
@@ -44,7 +47,7 @@ def _sgm_dir_kernel(cost_ref, out_ref, carry_ref, *, p1: float, p2: float):
                            jnp.minimum(up + p1, dn + p1))
         carry_ref[:] = c + best - prev_min
 
-    out_ref[0] = carry_ref[:]
+    out_ref[0] = carry_ref[:].astype(out_ref.dtype)
 
 
 def _sgm_one_direction(cost: jnp.ndarray, p1: float, p2: float,
