@@ -122,7 +122,12 @@ def run_e2e_bench(jax, n_frames: int = 40):
     from semantic_slam_mapping_tpu.ops import orb as orb_mod
     from semantic_slam_mapping_tpu.pipeline import SlamSystem
 
-    WARM = 3
+    # warmup must cross >=2 KEYFRAME EPOCHS so every keyframe-path program
+    # (features, BoW, PnP edges, loop scoring, optimize, map cloud)
+    # compiles BEFORE the timed window — the r3 bench compiled all of them
+    # inside it, understating steady-state throughput ~4x. The frontend
+    # bench excludes compiles the same way.
+    WARM = 20
     cfg = SlamConfig()
     K = Intrinsics.from_config(cfg.camera)
     world = synthetic.make_world(jax.random.PRNGKey(0), n_boxes=14,
@@ -147,7 +152,14 @@ def run_e2e_bench(jax, n_frames: int = 40):
     # keyframe/backend work) — the deployment mode for sequences
     t0 = time.time()
     system.process_stream(item(i) for i in range(WARM))
+    # prime BOTH optimizer variants (global iters=10 / local iters=5 are
+    # distinct compiled programs) so neither compiles inside the window
+    system._maybe_optimize(force_global=True)
+    if len(system.keyframes) > 1:
+        system.local_error = 1e9
+        system._maybe_optimize()
     compile_s = time.time() - t0
+    system.timer = type(system.timer)()    # fresh stage table, post-warmup
     t0 = time.time()
     system.process_stream(item(i) for i in range(WARM, WARM + n_frames))
     dt = time.time() - t0
@@ -156,6 +168,9 @@ def run_e2e_bench(jax, n_frames: int = 40):
                     loop_edges=system.n_loop_edges,
                     optimizations=system.n_optimizations,
                     map_voxels=len(system.map))
+    print("# e2e stage table:", file=sys.stderr)
+    for line in system.timer.report().splitlines():
+        print("#   " + line, file=sys.stderr)
     return n_frames / dt, compile_s, counters
 
 

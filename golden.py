@@ -48,6 +48,18 @@ def main():
                     help="feed ground-truth labels instead of running the "
                          "shipped SegNet online (the default exercises "
                          "LEARNED semantics end-to-end, VERDICT r2 item 4)")
+    ap.add_argument("--seed", type=int, default=7,
+                    help="world seed (multi-seed robustness, VERDICT r3 #4)")
+    ap.add_argument("--radius", type=float, default=RADIUS,
+                    help="loop radius in m (larger -> longer runs with "
+                         "more keyframes at reference scale)")
+    ap.add_argument("--laps", type=float, default=LAPS)
+    ap.add_argument("--label", default="",
+                    help="annotation naming this run's config in the "
+                         "GOLDEN.md run log")
+    ap.add_argument("--json-out", default=None,
+                    help="override the output JSON path (default "
+                         "GOLDEN_r{N}.json / GOLDEN.json)")
     args = ap.parse_args()
 
     os.makedirs(REPO / ".jax_cache", exist_ok=True)
@@ -75,9 +87,10 @@ def main():
 
     print(f"rendering {F} frames at {H}x{W} on {jax.devices()[0].platform}",
           flush=True)
-    world = synthetic.make_loop_world(jax.random.PRNGKey(7), n_boxes=N_BOXES,
-                                      radius=RADIUS, n_moving=N_MOVING)
-    poses = synthetic.loop_trajectory(F, radius=RADIUS, laps=LAPS,
+    world = synthetic.make_loop_world(jax.random.PRNGKey(args.seed),
+                                      n_boxes=N_BOXES,
+                                      radius=args.radius, n_moving=N_MOVING)
+    poses = synthetic.loop_trajectory(F, radius=args.radius, laps=args.laps,
                                       pitch_amp=PITCH_AMP)
 
     # render in chunks, keeping EVERYTHING on device (f16 frames): reading
@@ -163,8 +176,10 @@ def main():
         sem_acc = round(float(np.mean(accs)), 4) if accs else None
 
     rec = {
-        "sequence": f"golden-loop r={RADIUS} laps={LAPS} "
+        "sequence": f"golden-loop r={args.radius} laps={args.laps} "
                     f"moving={N_MOVING} pitch={PITCH_AMP}",
+        "seed": args.seed,
+        "label": args.label,
         "semantics": "learned-online" if use_learned else "ground-truth",
         "semantic_label_accuracy_vs_gt": sem_acc,
         "frames": F,
@@ -185,10 +200,25 @@ def main():
         "fps": round(F / wall, 3),
         "device": jax.devices()[0].platform,
     }
-    out = REPO / (f"GOLDEN_r{args.round:02d}.json" if args.round
-                  else "GOLDEN.json")
+    out = (Path(args.json_out) if args.json_out
+           else REPO / (f"GOLDEN_r{args.round:02d}.json" if args.round
+                        else "GOLDEN.json"))
     out.write_text(json.dumps(rec, indent=2) + "\n")
     print(json.dumps(rec))
+
+    # map artifact: PCD + orthographic PNG (the CloudViewer stand-in,
+    # VERDICT r3 item 9; tools/map_view.py)
+    if system.map is not None and len(system.map):
+        import sys as _sys
+        _sys.path.insert(0, str(REPO / "tools"))
+        import map_view
+        pcd = str(out.with_suffix(".pcd"))
+        system.map.save_pcd(pcd)
+        xyz, rgb = map_view.read_pcd(pcd)
+        top, side = map_view.render(xyz, rgb, px=0.15)
+        map_view.save_png(str(out.with_suffix(".map.png")), top, side)
+        print(f"map artifact: {pcd} + {out.with_suffix('.map.png')}",
+              flush=True)
 
     md = REPO / "docs" / "GOLDEN.md"
     if not md.exists():
@@ -199,8 +229,17 @@ def main():
             "| round | frames | ATE rmse (m) | RPE trans (m) | RPE rot "
             "(deg) | loop edges | global opts | mid-run closure | fps | "
             "device |\n|---|---|---|---|---|---|---|---|---|---|\n")
+    import subprocess
+    try:
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                cwd=REPO, capture_output=True,
+                                text=True).stdout.strip()
+    except Exception:
+        commit = "?"
     with open(md, "a") as f:
-        f.write(f"| r{args.round} | {F} | {rec['ate_rmse_m']} | "
+        f.write(f"| r{args.round} {args.label} (seed {args.seed}, "
+                f"r={args.radius:g}, laps={args.laps:g}, {commit}) "
+                f"| {F} | {rec['ate_rmse_m']} | "
                 f"{rec['rpe_trans_rmse_m']} | {rec['rpe_rot_rmse_deg']} | "
                 f"{rec['loop_edges']} | {rec['global_optimizations']} | "
                 f"{rec['mid_run_revisit_closed']} | {rec['fps']} | "

@@ -100,18 +100,16 @@ def _robust_weights(r: jnp.ndarray, info: jnp.ndarray,
     return info * jnp.minimum(1.0, delta / jnp.maximum(rn, 1e-9))
 
 
-@partial(jax.jit, static_argnames=("cfg", "iters"))
-def optimize(graph: PoseGraph, free_mask: jnp.ndarray,
-             cfg: PoseGraphConfig = PoseGraphConfig(),
-             iters: int = 10) -> PoseGraph:
-    """Gauss-Newton + PCG pose-graph solve.
-
-    free_mask: (M,) — vertices allowed to move (the reference fixes v0 for
-    global solves, pose_graph.cpp:242-247, and all but the last 5 for local
-    solves, :269-291).
-    """
+def _lm_optimize(graph: PoseGraph, free: jnp.ndarray,
+                 cfg: PoseGraphConfig, iters: int,
+                 reduce_sum) -> jnp.ndarray:
+    """The single LM+PCG optimizer body, shared by the single-device and the
+    edge-sharded paths. ``reduce_sum`` reduces edge-scattered vertex
+    quantities (and the scalar cost) across edge shards: identity on one
+    device, ``lax.psum`` over the mesh data axis under shard_map
+    (parallel/sharded_pcg.py). Having ONE body guarantees sharded ==
+    single-device bit-for-bit modulo collective reduction order."""
     M = graph.poses.shape[0]
-    free = (free_mask & graph.vertex_valid).astype(jnp.float32)[:, None]
 
     def robust_cost(poses):
         g = graph._replace(poses=poses)
@@ -121,7 +119,7 @@ def optimize(graph: PoseGraph, free_mask: jnp.ndarray,
         d = cfg.huber_delta
         # Huber cost: quadratic core, linear tail
         c = jnp.where(rn <= d, rn2, 2.0 * d * rn - d * d)
-        return jnp.sum(jnp.where(graph.edge_valid, c, 0.0))
+        return reduce_sum(jnp.sum(jnp.where(graph.edge_valid, c, 0.0)))
 
     def lm_step(carry, _):
         # Levenberg-Marquardt (the reference's OptimizationAlgorithmLevenberg,
@@ -142,7 +140,8 @@ def optimize(graph: PoseGraph, free_mask: jnp.ndarray,
                         precision=jax.lax.Precision.HIGHEST)
         Hj = jnp.einsum("eri,erj->eij", J_j, J_j * w[:, None, None],
                         precision=jax.lax.Precision.HIGHEST)
-        blocks = jnp.zeros((M, 6, 6)).at[ei].add(Hi).at[ej].add(Hj)
+        blocks = reduce_sum(
+            jnp.zeros((M, 6, 6)).at[ei].add(Hi).at[ej].add(Hj))
         diag = jnp.diagonal(blocks, axis1=-2, axis2=-1)        # (M, 6)
 
         def matvec(x):
@@ -158,6 +157,7 @@ def optimize(graph: PoseGraph, free_mask: jnp.ndarray,
                 "erk,er->ek", J_i, y, precision=jax.lax.Precision.HIGHEST))
             out = out.at[ej].add(jnp.einsum(
                 "erk,er->ek", J_j, y, precision=jax.lax.Precision.HIGHEST))
+            out = reduce_sum(out)
             damp = lam * (diag + 1e-6) * xf
             return (out + damp + 1e-6 * x) * free
 
@@ -168,7 +168,7 @@ def optimize(graph: PoseGraph, free_mask: jnp.ndarray,
                                     precision=jax.lax.Precision.HIGHEST))
         b = b.at[ej].add(jnp.einsum("erk,er->ek", J_j, wr,
                                     precision=jax.lax.Precision.HIGHEST))
-        b = -b * free
+        b = -reduce_sum(b) * free
 
         pre_blocks = blocks + (lam * (diag + 1e-6))[:, :, None] \
             * jnp.eye(6) + 1e-5 * jnp.eye(6)
@@ -210,7 +210,22 @@ def optimize(graph: PoseGraph, free_mask: jnp.ndarray,
 
     (poses, _), _ = jax.lax.scan(lm_step, (graph.poses, jnp.float32(1e-2)),
                                  None, length=iters)
-    return graph._replace(poses=se3.orthonormalize(poses))
+    return se3.orthonormalize(poses)
+
+
+@partial(jax.jit, static_argnames=("cfg", "iters"))
+def optimize(graph: PoseGraph, free_mask: jnp.ndarray,
+             cfg: PoseGraphConfig = PoseGraphConfig(),
+             iters: int = 10) -> PoseGraph:
+    """LM + PCG pose-graph solve (single device).
+
+    free_mask: (M,) — vertices allowed to move (the reference fixes v0 for
+    global solves, pose_graph.cpp:242-247, and all but the last 5 for local
+    solves, :269-291).
+    """
+    free = (free_mask & graph.vertex_valid).astype(jnp.float32)[:, None]
+    poses = _lm_optimize(graph, free, cfg, iters, lambda x: x)
+    return graph._replace(poses=poses)
 
 
 def local_free_mask(graph: PoseGraph, n_vertices: jnp.ndarray,

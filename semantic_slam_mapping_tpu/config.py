@@ -143,7 +143,9 @@ class KltConfig:
     pyramid_levels: int = 3
     max_iterations: int = 20   # fixed-count iterations; convergence by mask
     epsilon: float = 0.01
-    min_eig_threshold: float = 1e-4
+    # OpenCV-unit minEigThreshold; the reference passes 1e-6 at every
+    # calcOpticalFlowPyrLK call site (quadmatcher.cpp:566-577)
+    min_eig_threshold: float = 1e-6
 
 
 @dataclass(frozen=True)
@@ -249,6 +251,18 @@ class PoseGraphConfig:
     # re-measures fire on every pair). Odometry + verified loop edges keep
     # the reference weight.
     nearby_information_weight: float = 1.0
+    # Loop-edge acceptance floor on PnP inliers (r3 hard-coded 25) and
+    # measurement-quality information scaling (VERDICT r3 item 8): with
+    # scaling on, a loop edge's information is
+    #   information_weight * clip(inliers / info_full_inliers, min, 1)^2
+    # so borderline loops (floor..full) pull weakly instead of being
+    # rejected outright or trusted like odometry. The chi2 TRIGGER
+    # statistic keeps the uniform reference weight (pose_graph.cpp:164-178)
+    # so optimization scheduling stays at reference parity.
+    loop_min_inliers: int = 12
+    info_from_inliers: bool = True
+    info_full_inliers: float = 50.0
+    info_min_scale: float = 0.04
     huber_delta: float = 1.0
     # PCG linear solver (replaces Cholmod; SURVEY.md §2.2 g2o row)
     pcg_iters: int = 100

@@ -121,8 +121,8 @@ def _track_level(template: jnp.ndarray, target: jnp.ndarray,
     tr = gxx + gyy
     min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))) / n
     # cfg.min_eig_threshold is in OpenCV's units — spatial-gradient matrix
-    # of 8-bit [0,255] images (calcOpticalFlowPyrLK minEigThreshold=1e-4,
-    # quadmatcher.cpp:553-561). These images are [0,1], so gradients^2 are
+    # of 8-bit [0,255] images (calcOpticalFlowPyrLK minEigThreshold=1e-6,
+    # quadmatcher.cpp:566-577). These images are [0,1], so gradients^2 are
     # 255^2 smaller; without this rescale the gate was ~65000x stricter
     # than the reference and silently dropped ~60% of stereo-leg tracks.
     ok_g = min_eig > cfg.min_eig_threshold / (255.0 * 255.0)

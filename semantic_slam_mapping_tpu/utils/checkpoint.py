@@ -116,11 +116,11 @@ def load_slam(path: str | Path, cfg, vocab=None):
             feat_desc=z[p + "feat_desc"],
             feat_xyz=z[p + "feat_xyz"],
             feat_valid=z[p + "feat_valid"],
-            left=z[p + "left"],
-            right=z[p + "right"],
+            left_host=z[p + "left"],
+            right_host=z[p + "right"],
             color=get("color"),
             semantic=get("semantic"),
-            disparity=get("disparity")))
+            disparity_host=get("disparity")))
     # rebuild the relocalization ref deque from the newest keyframes
     for kf in system.keyframes[-system.ref_frames.maxlen:]:
         system.ref_frames.append(kf)

@@ -22,6 +22,7 @@ class StageTimer:
     def __init__(self):
         self.total: Dict[str, float] = defaultdict(float)
         self.count: Dict[str, int] = defaultdict(int)
+        self.max: Dict[str, float] = defaultdict(float)
         self.counters: Dict[str, float] = defaultdict(float)
 
     @contextmanager
@@ -34,7 +35,9 @@ class StageTimer:
             out = holder.get("out", block)
             if out is not None:
                 jax.block_until_ready(out)
-            self.total[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            self.total[name] += dt
+            self.max[name] = max(self.max[name], dt)
             self.count[name] += 1
 
     def add(self, name: str, value: float = 1.0):
@@ -43,13 +46,15 @@ class StageTimer:
     def summary(self) -> Dict[str, Dict[str, float]]:
         return {
             name: {"total_s": self.total[name], "calls": self.count[name],
-                   "mean_ms": 1e3 * self.total[name] / max(self.count[name], 1)}
+                   "mean_ms": 1e3 * self.total[name] / max(self.count[name], 1),
+                   "max_ms": 1e3 * self.max[name]}
             for name in self.total
         }
 
     def report(self) -> str:
         lines = [f"{name:24s} {s['calls']:5d} calls  "
-                 f"{s['mean_ms']:8.2f} ms/call  {s['total_s']:7.2f} s total"
+                 f"{s['mean_ms']:8.2f} ms/call  {s['max_ms']:8.0f} max  "
+                 f"{s['total_s']:7.2f} s total"
                  for name, s in sorted(self.summary().items())]
         lines += [f"{k:24s} {v:g}" for k, v in sorted(self.counters.items())]
         return "\n".join(lines)

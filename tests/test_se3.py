@@ -98,3 +98,21 @@ def test_vmap_exp():
     assert T.shape == (32, 4, 4)
     T2 = se3.exp(xi)  # broadcast path
     np.testing.assert_allclose(np.asarray(T), np.asarray(T2), atol=1e-6)
+
+
+def test_se3_np_mirrors_jax():
+    """Host-side numpy twins (geometry/se3_np.py) must match the jax
+    versions — the pipeline's edge chi2 / export paths depend on it."""
+    from semantic_slam_mapping_tpu.geometry import se3_np
+    xi = np.asarray(jax.random.normal(jax.random.PRNGKey(5), (64, 6)))
+    T = np.asarray(se3.exp(jnp.asarray(xi)), np.float64)
+    np.testing.assert_allclose(se3_np.inverse(T),
+                               np.asarray(se3.inverse(jnp.asarray(T))),
+                               atol=1e-5)
+    np.testing.assert_allclose(se3_np.log(T),
+                               np.asarray(se3.log(jnp.asarray(T))),
+                               atol=1e-4)
+    np.testing.assert_allclose(
+        se3_np.rotation_to_quaternion(T[:, :3, :3]),
+        np.asarray(se3.rotation_to_quaternion(jnp.asarray(T[:, :3, :3]))),
+        atol=1e-5)
