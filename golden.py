@@ -54,9 +54,14 @@ def main():
                     help="loop radius in m (larger -> longer runs with "
                          "more keyframes at reference scale)")
     ap.add_argument("--laps", type=float, default=LAPS)
+    ap.add_argument("--boxes", type=int, default=N_BOXES)
     ap.add_argument("--label", default="",
                     help="annotation naming this run's config in the "
                          "GOLDEN.md run log")
+    ap.add_argument("--uniform-info", action="store_true",
+                    help="r3 behavior ablation: uniform loop-edge "
+                         "information + hard 25-inlier floor (vs the "
+                         "default inlier-scaled information, floor 12)")
     ap.add_argument("--json-out", default=None,
                     help="override the output JSON path (default "
                          "GOLDEN_r{N}.json / GOLDEN.json)")
@@ -78,17 +83,20 @@ def main():
     from semantic_slam_mapping_tpu.utils import metrics
 
     cfg = default_config()
+    import dataclasses
     if args.nearby is not None:
-        import dataclasses
         cfg = dataclasses.replace(cfg, pose_graph=dataclasses.replace(
             cfg.pose_graph, nearby_keyframes=args.nearby))
+    if args.uniform_info:
+        cfg = dataclasses.replace(cfg, pose_graph=dataclasses.replace(
+            cfg.pose_graph, info_from_inliers=False, loop_min_inliers=25))
     K = Intrinsics.from_config(cfg.camera)
     F = args.frames
 
     print(f"rendering {F} frames at {H}x{W} on {jax.devices()[0].platform}",
           flush=True)
     world = synthetic.make_loop_world(jax.random.PRNGKey(args.seed),
-                                      n_boxes=N_BOXES,
+                                      n_boxes=args.boxes,
                                       radius=args.radius, n_moving=N_MOVING)
     poses = synthetic.loop_trajectory(F, radius=args.radius, laps=args.laps,
                                       pitch_amp=PITCH_AMP)
@@ -180,6 +188,8 @@ def main():
                     f"moving={N_MOVING} pitch={PITCH_AMP}",
         "seed": args.seed,
         "label": args.label,
+        "edge_info": ("uniform+floor25" if args.uniform_info
+                      else "inlier-scaled+floor12"),
         "semantics": "learned-online" if use_learned else "ground-truth",
         "semantic_label_accuracy_vs_gt": sem_acc,
         "frames": F,

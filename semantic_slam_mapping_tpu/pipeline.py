@@ -119,10 +119,13 @@ class Keyframe:
     pose: np.ndarray              # (4, 4) T_w_c
     bow_idx: np.ndarray           # (B,) sorted word ids (sparse BoW)
     bow_w: np.ndarray             # (B,) tf-idf weights
-    feat_xy: np.ndarray           # (N, 2)
-    feat_desc: np.ndarray         # (N, 256) uint8
-    feat_xyz: np.ndarray          # (N, 3) camera-frame 3D (from disparity)
-    feat_valid: np.ndarray        # (N,)
+    # ORB features: device-resident (feats_dev = (xy, desc, xyz, valid))
+    # with lazy host mirrors, same pattern as the images below
+    feat_xy_host: Optional[np.ndarray] = None    # (N, 2)
+    feat_desc_host: Optional[np.ndarray] = None  # (N, 256) uint8
+    feat_xyz_host: Optional[np.ndarray] = None   # (N, 3) camera-frame 3D
+    feat_valid_host: Optional[np.ndarray] = None  # (N,)
+    feats_dev: Optional[tuple] = None
     color: Optional[np.ndarray] = None     # (H, W, 3) uint8, for mapping
     semantic: Optional[np.ndarray] = None  # (H, W) int32, for mapping
     # image storage: the authoritative copies live ON DEVICE as f16
@@ -147,6 +150,29 @@ class Keyframe:
             h = np.asarray(dev)
             setattr(self, attr + "_host", h)
         return h
+
+    def _feats_host(self, i: int, attr: str) -> Optional[np.ndarray]:
+        h = getattr(self, attr + "_host")
+        if h is None and self.feats_dev is not None:
+            h = np.asarray(self.feats_dev[i])
+            setattr(self, attr + "_host", h)
+        return h
+
+    @property
+    def feat_xy(self) -> np.ndarray:
+        return self._feats_host(0, "feat_xy")
+
+    @property
+    def feat_desc(self) -> np.ndarray:
+        return self._feats_host(1, "feat_desc")
+
+    @property
+    def feat_xyz(self) -> np.ndarray:
+        return self._feats_host(2, "feat_xyz")
+
+    @property
+    def feat_valid(self) -> np.ndarray:
+        return self._feats_host(3, "feat_valid")
 
     @property
     def left(self) -> np.ndarray:
@@ -520,6 +546,10 @@ class SlamSystem:
             # copy until now), then release the HBM
             old._host("left"), old._host("right"), old._host("disparity")
             old.left_dev = old.right_dev = old.disparity_dev = None
+            for i, a in enumerate(("feat_xy", "feat_desc",
+                                   "feat_xyz", "feat_valid")):
+                old._feats_host(i, a)
+            old.feats_dev = None
 
     # ------------------------------------------------------------------
     def _store_keyframe(self, out, pose, left, right, color, semantic,
@@ -545,10 +575,7 @@ class SlamSystem:
             pose=np.asarray(pose, np.float32),
             bow_idx=np.asarray(bow.idx) if bow is not None else None,
             bow_w=np.asarray(bow.w) if bow is not None else None,
-            feat_xy=np.asarray(feats.xy),
-            feat_desc=np.asarray(feats.desc),
-            feat_xyz=np.asarray(xyz),
-            feat_valid=np.asarray(feat_valid),
+            feats_dev=(feats.xy, feats.desc, xyz, feat_valid),
             color=(np.asarray(color) if color is not None else None),
             # labels fit int8 (12 classes): 4x smaller readback and store
             # host labels stay on host (int8); device labels read back
@@ -598,10 +625,11 @@ class SlamSystem:
         ref_valid = np.arange(nb) < n
 
         with self.timer.stage("edges/stack"):
-            stack = lambda f: jnp.asarray(np.stack([f(r) for r in pick]))
-            desc_r = stack(lambda r: r.feat_desc)
-            xyz_r = stack(lambda r: r.feat_xyz)
-            val_r = stack(lambda r: r.feat_valid)
+            fd = lambda r, i, a: (r.feats_dev[i] if r.feats_dev is not None
+                                  else jnp.asarray(getattr(r, a)))
+            desc_r = jnp.stack([fd(r, 1, "feat_desc") for r in pick])
+            xyz_r = jnp.stack([fd(r, 2, "feat_xyz") for r in pick])
+            val_r = jnp.stack([fd(r, 3, "feat_valid") for r in pick])
             # stack the DEVICE-resident f16 images (no host->device
             # transfer while they are cache-resident)
             left_r = jnp.stack([_dev_img(r, "left") for r in pick]
@@ -613,9 +641,12 @@ class SlamSystem:
                     np.linalg.inv(r.pose) @ kf.pose).astype(np.float32)
                  for r in pick]))
 
-            kf_desc = jnp.asarray(kf.feat_desc)
-            kf_xy = jnp.asarray(kf.feat_xy)
-            kf_val = jnp.asarray(kf.feat_valid)
+            kf_desc = (kf.feats_dev[1] if kf.feats_dev is not None
+                       else jnp.asarray(kf.feat_desc))
+            kf_xy = (kf.feats_dev[0] if kf.feats_dev is not None
+                     else jnp.asarray(kf.feat_xy))
+            kf_val = (kf.feats_dev[3] if kf.feats_dev is not None
+                      else jnp.asarray(kf.feat_valid))
 
         with self.timer.stage("edges/pnp"):
             infos = jax.vmap(

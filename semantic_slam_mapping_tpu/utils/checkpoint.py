@@ -112,10 +112,10 @@ def load_slam(path: str | Path, cfg, vocab=None):
             pose=z[p + "pose"],
             bow_idx=get("bow_idx"),
             bow_w=get("bow_w"),
-            feat_xy=z[p + "feat_xy"],
-            feat_desc=z[p + "feat_desc"],
-            feat_xyz=z[p + "feat_xyz"],
-            feat_valid=z[p + "feat_valid"],
+            feat_xy_host=z[p + "feat_xy"],
+            feat_desc_host=z[p + "feat_desc"],
+            feat_xyz_host=z[p + "feat_xyz"],
+            feat_valid_host=z[p + "feat_valid"],
             left_host=z[p + "left"],
             right_host=z[p + "right"],
             color=get("color"),

@@ -185,3 +185,57 @@ def test_sparse_loop_detection_10k_leaf_vocab():
     # the revisited view scores far above the far-away frames
     assert int(np.argmax(scores[:6])) == 1, scores
     assert scores[1] > 2.0 * max(scores[4], scores[5]), scores
+
+
+@pytest.mark.slow
+def test_vocabulary_at_dbow2_scale():
+    """VERDICT r3 item 6: a k=10 depth-5 vocabulary (10^5 leaves — within
+    10x of the reference ORBvoc's 10^6, looper.h:29-32) built, queried,
+    and scored against a 2048-keyframe database (the reference's
+    max_keyframes class, parameters.txt:92)."""
+    rng = np.random.default_rng(0)
+    # clustered binary descriptors: prototypes + bit noise (ORB statistics)
+    protos = rng.integers(0, 2, (1500, 256)).astype(np.uint8)
+    train = (np.repeat(protos, 80, axis=0)
+             ^ (rng.random((120000, 256)) < 0.08)).astype(np.uint8)
+    vocab = looper.build_vocabulary(train, branching=10, depth=5,
+                                    kmeans_iters=4)
+    assert vocab.n_leaves == 100_000
+
+    # two views of the same place = same prototypes, fresh noise;
+    # a different place = disjoint prototypes
+    def frame(protos_, seed):
+        r = np.random.default_rng(seed)
+        idx = r.integers(0, len(protos_), 256)
+        d = protos_[idx] ^ (r.random((256, 256)) < 0.08)
+        return jnp.asarray(d.astype(np.uint8)), jnp.ones(256, bool)
+
+    placeA = protos[:200]
+    placeB = protos[700:900]
+    a0 = looper.transform_sparse(vocab, *frame(placeA, 1),
+                                 scoring_level=5, budget=256)
+    a1 = looper.transform_sparse(vocab, *frame(placeA, 2),
+                                 scoring_level=5, budget=256)
+    b0 = looper.transform_sparse(vocab, *frame(placeB, 3),
+                                 scoring_level=5, budget=256)
+    same = float(looper.sparse_l1_scores(a0, a1.idx[None], a1.w[None])[0])
+    diff = float(looper.sparse_l1_scores(a0, b0.idx[None], b0.w[None])[0])
+    assert same > 3 * max(diff, 1e-6), (same, diff)
+    # per-keyframe memory stays O(budget), independent of vocab size
+    kb = (a0.idx.nbytes + a0.w.nbytes) / 1024
+    assert kb <= 4.0
+
+    # full 2048-KF database scan as ONE batched call
+    M = 2048
+    db_idx = jnp.broadcast_to(a1.idx, (M,) + a1.idx.shape).copy()
+    db_w = jnp.broadcast_to(a1.w, (M,) + a1.w.shape).copy()
+    db_idx = db_idx.at[5].set(b0.idx)
+    db_w = db_w.at[5].set(b0.w)
+    ids = jnp.arange(M, dtype=jnp.int32)
+    scores, mask = looper.get_possible_loops_sparse(
+        a0, db_idx, db_w, ids, jnp.ones(M, bool), jnp.int32(2000),
+        min_score=0.015, min_interval=60)
+    scores = np.asarray(scores)
+    assert scores.shape == (M,)
+    assert scores[5] < 0.5 * scores[4]          # the odd one out
+    assert np.asarray(mask)[4] and not np.asarray(mask)[1990]  # interval gate
