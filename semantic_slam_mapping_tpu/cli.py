@@ -266,9 +266,28 @@ def cmd_read_frames(args):
     print(f"{n} frames OK", file=sys.stderr)
 
 
+def _draw_keypoints(path, img01, xy, valid):
+    """Write a keypoint-overlay PNG (the orbcreate.cpp:1-51 drawKeypoints
+    role, headless: green 3x3 crosses instead of a cv::imshow window)."""
+    import numpy as np
+    from PIL import Image
+    g = (np.clip(np.asarray(img01), 0, 1) * 255).astype(np.uint8)
+    rgb = np.stack([g, g, g], axis=-1)
+    H, W = g.shape
+    pts = np.asarray(xy)[np.asarray(valid)]
+    for u, v in pts:
+        ui, vi = int(round(float(u))), int(round(float(v)))
+        if 1 <= ui < W - 1 and 1 <= vi < H - 1:
+            rgb[vi, ui - 1:ui + 2] = (0, 255, 0)
+            rgb[vi - 1:vi + 2, ui] = (0, 255, 0)
+    Image.fromarray(rgb).save(path)
+
+
 def cmd_match_orb(args):
     """Consecutive-frame ORB matching probe: extract + knn ratio-test match,
-    print counts and timing (the match_orbfeature_tum.cpp role)."""
+    print counts and timing (the match_orbfeature_tum.cpp role). With
+    --dump N, writes keypoint-overlay PNGs of the first N frames (the
+    orbcreate.cpp visualization role)."""
     import jax.numpy as jnp
 
     from semantic_slam_mapping_tpu.ops import matching
@@ -296,6 +315,11 @@ def cmd_match_orb(args):
                   f"{n_match} matches, {dt:.1f} ms")
         else:
             print(f"frame {frame.index}: {n_kp} keypoints")
+        if getattr(args, "dump", 0) and frame.index < args.dump:
+            out_dir = Path(args.out)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            _draw_keypoints(out_dir / f"{frame.index:06d}_orb.png",
+                            frame.left, feats.xy, feats.valid)
         prev = feats
 
 
@@ -647,9 +671,12 @@ def main(argv=None):
 
     p = sub.add_parser("match-orb", parents=[common],
                        help="consecutive-frame ORB match probe "
-                            "(match_orbfeature_tum role)")
+                            "(match_orbfeature_tum + orbcreate roles)")
     p.add_argument("--dataset", choices=("kitti", "tum"), default="tum")
     p.add_argument("--frames", type=int, default=0)
+    p.add_argument("--dump", type=int, default=0,
+                   help="write keypoint-overlay PNGs for the first N "
+                        "frames (orbcreate.cpp role)")
     p.set_defaults(fn=cmd_match_orb)
 
     p = sub.add_parser("make-vocab", parents=[common])
