@@ -102,6 +102,7 @@ def cmd_slam(args):
     write_kitti_poses(out_dir / "trajectory.txt", traj)
     system.save_g2o(str(out_dir / "traj.g2o"))
     print(timer.report(), file=sys.stderr)
+    print(system.timer.report(), file=sys.stderr)
     _report_accuracy(traj, args.gt)
     if args.plot:
         from semantic_slam_mapping_tpu.io.gt_pose import read_kitti_poses
@@ -596,7 +597,26 @@ def cmd_train_segnet(args):
           f"held-out world mIoU {world_miou:.3f})")
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache for every CLI entry point: on the
+    tunneled TPU a cold compile of the fused pipeline programs costs
+    minutes; cached, a `cli slam` run starts tracking in seconds."""
+    import os
+    try:
+        import jax
+        d = os.environ.get(
+            "SSM_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "semantic_slam_mapping_tpu", "jax_cache"))
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="semantic_slam_mapping_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

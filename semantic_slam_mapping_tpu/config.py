@@ -325,6 +325,11 @@ class MapperConfig:
     # per-frame unique-voxel count with ~2.6x headroom while halving the
     # fixed-size device->host readback of each keyframe cloud
     max_points_per_frame: int = 1 << 17
+    # pixel stride for per-keyframe cloud generation: at stride 2 the
+    # pixel footprint (5.6 cm at 40 m for KITTI intrinsics) stays below
+    # the 10 cm voxel leaf, so the voxel map is near-identical while the
+    # dominant cost (the voxel-key argsort over ~470k pixels) drops 4x
+    cloud_stride: int = 2
 
 
 @dataclass(frozen=True)

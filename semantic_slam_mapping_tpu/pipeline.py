@@ -72,7 +72,21 @@ def _kf_cloud_jit(disp_f16, left_f16, color, labels, moving_mask,
     transfer-bound through the remote-TPU tunnel, r3 PERF.md)."""
     from semantic_slam_mapping_tpu.geometry.camera import disparity_to_depth
     from semantic_slam_mapping_tpu.mapping import mapper as mp
+    st = max(int(mcfg.cloud_stride), 1)
     disp = disp_f16.astype(jnp.float32)
+    if st > 1:
+        # stride-subsample: backprojection uses subsampled pixel indices,
+        # so intrinsics scale by 1/st (u_full = u_sub*st)
+        disp = disp[::st, ::st]
+        left_f16 = left_f16[::st, ::st]
+        if color is not None:
+            color = color[::st, ::st]
+        if labels is not None:
+            labels = labels[::st, ::st]
+        if moving_mask is not None:
+            moving_mask = moving_mask[::st, ::st]
+        K = K._replace(fx=K.fx / st, fy=K.fy / st,
+                       cx=K.cx / st, cy=K.cy / st)
     depth = disparity_to_depth(K, disp)
     if color is None:
         color = jnp.broadcast_to(left_f16.astype(jnp.float32)[..., None],
@@ -93,6 +107,23 @@ def _kf_cloud_jit(disp_f16, left_f16, color, labels, moving_mask,
 @partial(jax.jit, static_argnames=("L",))
 def _take_prefix(x, L: int):
     return x[:L]
+
+
+@jax.jit
+def _u8_gray_to_f32(x):
+    return x.astype(jnp.float32) / 255.0
+
+
+@jax.jit
+def _db_set_row(db, row, n):
+    """Write one BoW row into the device database (n traced: one compiled
+    program per db shape, not one per keyframe)."""
+    return db.at[n].set(row)
+
+
+@jax.jit
+def _db_grow(db, fill):
+    return jnp.concatenate([db, jnp.full_like(db, fill)], axis=0)
 
 
 # newest-N keyframes whose f16 device-image copies stay resident (~3 MB
@@ -117,8 +148,11 @@ class Keyframe:
     kf_id: int
     frame_index: int
     pose: np.ndarray              # (4, 4) T_w_c
-    bow_idx: np.ndarray           # (B,) sorted word ids (sparse BoW)
-    bow_w: np.ndarray             # (B,) tf-idf weights
+    # sparse BoW: device-resident (bow_dev = (idx, w)) with lazy host
+    # mirrors - the loop database is maintained ON DEVICE (_bow_db_sync)
+    bow_idx_host: Optional[np.ndarray] = None  # (B,) sorted word ids
+    bow_w_host: Optional[np.ndarray] = None    # (B,) tf-idf weights
+    bow_dev: Optional[tuple] = None
     # ORB features: device-resident (feats_dev = (xy, desc, xyz, valid))
     # with lazy host mirrors, same pattern as the images below
     feat_xy_host: Optional[np.ndarray] = None    # (N, 2)
@@ -150,6 +184,18 @@ class Keyframe:
             h = np.asarray(dev)
             setattr(self, attr + "_host", h)
         return h
+
+    @property
+    def bow_idx(self) -> Optional[np.ndarray]:
+        if self.bow_idx_host is None and self.bow_dev is not None:
+            self.bow_idx_host = np.asarray(self.bow_dev[0])
+        return self.bow_idx_host
+
+    @property
+    def bow_w(self) -> Optional[np.ndarray]:
+        if self.bow_w_host is None and self.bow_dev is not None:
+            self.bow_w_host = np.asarray(self.bow_dev[1])
+        return self.bow_w_host
 
     def _feats_host(self, i: int, attr: str) -> Optional[np.ndarray]:
         h = getattr(self, attr + "_host")
@@ -254,6 +300,12 @@ class SlamSystem:
         # carry the ORB features + 3D positions PnP needs).
         self.ref_frames: deque = deque(maxlen=max(1, cfg.tracker.ref_frames))
         self.map = None
+        # device-resident loop BoW database (cap, B) - grown pow2, rows
+        # appended as device ops (no host restack/upload per keyframe);
+        # _bow_db_sync lazily rebuilds rows after checkpoint resume
+        self._db_idx = None
+        self._db_w = None
+        self._db_n = 0
         self.timer = StageTimer()
         self._map_updates = 0
         # kf_id -> (xyz_cam, rgb, label) host cache of camera-frame
@@ -279,12 +331,26 @@ class SlamSystem:
                 self._segnet = segnet_mod.create(cfg.segnet)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _upload_gray(img):
+        """Host float images upload as uint8 (4x fewer bytes through the
+        ~15 MB/s remote-TPU tunnel — 3.7 MB/frame of f32 uploads capped
+        `cli slam` at ~1 fps) and normalize back to [0,1] f32 on device.
+        EXACT for PNG-sourced frames (the readers produce k/255 values);
+        <=1/510 quantization otherwise, far below image noise. Device
+        arrays and integer arrays pass through."""
+        if isinstance(img, np.ndarray) and img.dtype in (np.float32,
+                                                         np.float64):
+            q = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            return _u8_gray_to_f32(jnp.asarray(q))
+        return jnp.asarray(img, jnp.float32)
+
     def _dispatch_frame(self, left, right):
         """Enqueue one frontend step on the device (asynchronously); the
         host does not read any result here. Returns the FrameResult
         futures, or None for the very first frame (pair-buffer priming)."""
-        left = jnp.asarray(left, jnp.float32)
-        right = jnp.asarray(right, jnp.float32)
+        left = self._upload_gray(left)
+        right = self._upload_gray(right)
         if self._prev is None:
             self._prev = (left, right)
             self.trajectory.append(np.eye(4))
@@ -573,8 +639,7 @@ class SlamSystem:
         kf = Keyframe(
             kf_id=kf_id, frame_index=self.frame_count - 1,
             pose=np.asarray(pose, np.float32),
-            bow_idx=np.asarray(bow.idx) if bow is not None else None,
-            bow_w=np.asarray(bow.w) if bow is not None else None,
+            bow_dev=((bow.idx, bow.w) if bow is not None else None),
             feats_dev=(feats.xy, feats.desc, xyz, feat_valid),
             color=(np.asarray(color) if color is not None else None),
             # labels fit int8 (12 classes): 4x smaller readback and store
@@ -761,30 +826,49 @@ class SlamSystem:
         return added
 
     # ------------------------------------------------------------------
+    def _bow_db_sync(self):
+        """Append any keyframes not yet in the device BoW database (the
+        DBoW2 ``add`` role, looper.h:39-45). Normal operation appends one
+        row per keyframe as a device op; after a checkpoint resume the
+        loop uploads the restored host BoWs."""
+        while self._db_n < len(self.keyframes):
+            k = self.keyframes[self._db_n]
+            bi, bw = (k.bow_dev if k.bow_dev is not None
+                      else (jnp.asarray(k.bow_idx), jnp.asarray(k.bow_w)))
+            if self._db_idx is None:
+                cap = 64
+                self._db_idx = jnp.full((cap,) + bi.shape, lp.PAD_WORD,
+                                        jnp.int32)
+                self._db_w = jnp.zeros((cap,) + bw.shape, jnp.float32)
+            if self._db_n == self._db_idx.shape[0]:   # pow2 growth
+                self._db_idx = _db_grow(self._db_idx, 2 ** 30)
+                self._db_w = _db_grow(self._db_w, 0.0)
+            nrow = jnp.int32(self._db_n)
+            self._db_idx = _db_set_row(self._db_idx, bi, nrow)
+            self._db_w = _db_set_row(self._db_w, bw, nrow)
+            self._db_n += 1
+
     def _try_loops(self, kf: Keyframe):
         cfg = self.cfg.looper
         if len(self.keyframes) <= 1:
             return
-        n = len(self.keyframes) - 1
-        # pad the database to the next power of two: the scoring program
-        # compiles once per size BUCKET (log2 many over a whole run), not
-        # once per keyframe — per-keyframe recompiles on a remote TPU were
-        # a dominant e2e cost in round 2
-        cap = 1
-        while cap < n:
-            cap *= 2
-        pad = cap - n
-        db_idx = np.stack([k.bow_idx for k in self.keyframes[:n]]
-                          + [self.keyframes[0].bow_idx] * pad)
-        db_w = np.stack([k.bow_w for k in self.keyframes[:n]]
-                        + [self.keyframes[0].bow_w] * pad)
-        ids = np.array([k.frame_index for k in self.keyframes[:n]]
-                       + [0] * pad)
+        self._bow_db_sync()
+        cap = self._db_idx.shape[0]
+        n = self._db_n
+        # row i of the db is keyframe i. The current keyframe's own row
+        # carries its true frame index, so the id-gap gate (gap >
+        # min_interval) excludes it naturally — matching the reference's
+        # scan over previously added frames (looper.cpp:5-18). Padding
+        # rows are excluded by db_valid.
+        ids = np.zeros(cap, np.int32)
+        ids[:n] = [k.frame_index for k in self.keyframes[:n]]
         db_valid = np.arange(cap) < n
         with self.timer.stage("loops/score"):
+            bi, bw = (kf.bow_dev if kf.bow_dev is not None
+                      else (jnp.asarray(kf.bow_idx), jnp.asarray(kf.bow_w)))
             scores, mask = lp.get_possible_loops_sparse(
-                lp.SparseBow(jnp.asarray(kf.bow_idx), jnp.asarray(kf.bow_w)),
-                jnp.asarray(db_idx), jnp.asarray(db_w), jnp.asarray(ids),
+                lp.SparseBow(bi, bw),
+                self._db_idx, self._db_w, jnp.asarray(ids),
                 jnp.asarray(db_valid), jnp.int32(kf.frame_index),
                 cfg.min_sim_score, cfg.min_interval)
             scores = np.asarray(scores)

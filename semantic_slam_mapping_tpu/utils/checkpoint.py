@@ -110,8 +110,8 @@ def load_slam(path: str | Path, cfg, vocab=None):
             kf_id=i,
             frame_index=int(z[p + "frame_index"]),
             pose=z[p + "pose"],
-            bow_idx=get("bow_idx"),
-            bow_w=get("bow_w"),
+            bow_idx_host=get("bow_idx"),
+            bow_w_host=get("bow_w"),
             feat_xy_host=z[p + "feat_xy"],
             feat_desc_host=z[p + "feat_desc"],
             feat_xyz_host=z[p + "feat_xyz"],

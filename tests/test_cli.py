@@ -144,11 +144,14 @@ def test_cli_read_frames(kitti_dataset, tmp_path, capsys):
     assert (out / "000001_left.png").exists()
 
 
-def test_cli_match_orb(tum_dataset, capsys):
+def test_cli_match_orb(tum_dataset, tmp_path, capsys):
+    out = tmp_path / "orb"
     cli.main(["match-orb", "--data", str(tum_dataset), "--dataset", "tum",
-              "--frames", "3"])
+              "--frames", "3", "--dump", "1", "--out", str(out)])
     captured = capsys.readouterr()
     lines = [l for l in captured.out.splitlines() if "matches" in l]
     assert len(lines) == 2
     assert all(int(l.split("matches")[0].split(",")[-1].strip()) >= 0
                for l in lines)
+    # orbcreate.cpp role: keypoint-overlay PNG written
+    assert (out / "000000_orb.png").exists()
