@@ -75,8 +75,6 @@ def _kf_cloud_jit(disp_f16, left_f16, color, labels, moving_mask,
     st = max(int(mcfg.cloud_stride), 1)
     disp = disp_f16.astype(jnp.float32)
     if st > 1:
-        # stride-subsample: backprojection uses subsampled pixel indices,
-        # so intrinsics scale by 1/st (u_full = u_sub*st)
         disp = disp[::st, ::st]
         left_f16 = left_f16[::st, ::st]
         if color is not None:
@@ -85,9 +83,14 @@ def _kf_cloud_jit(disp_f16, left_f16, color, labels, moving_mask,
             labels = labels[::st, ::st]
         if moving_mask is not None:
             moving_mask = moving_mask[::st, ::st]
+    # depth uses the FULL-resolution intrinsics (disparity values are in
+    # full-res pixel units regardless of subsampling) ...
+    depth = disparity_to_depth(K, disp)
+    if st > 1:
+        # ... while backprojection uses subsampled pixel indices, so the
+        # projection intrinsics scale by 1/st (u_full = u_sub * st)
         K = K._replace(fx=K.fx / st, fy=K.fy / st,
                        cx=K.cx / st, cy=K.cy / st)
-    depth = disparity_to_depth(K, disp)
     if color is None:
         color = jnp.broadcast_to(left_f16.astype(jnp.float32)[..., None],
                                  disp.shape + (3,))
