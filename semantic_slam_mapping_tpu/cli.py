@@ -89,9 +89,16 @@ def cmd_slam(args):
         # DEFAULT: the pipelined driver (frame N+1's frontend in flight on
         # the device during frame N's host-side keyframe/backend work) —
         # the same fast path bench.py/golden.py measure (VERDICT r3 item 5)
-        system.process_stream(
-            (frame.left, frame.right, frame.color, frame.semantic)
-            for frame in reader)
+        def stream():
+            for frame in reader:
+                yield (frame.left, frame.right, frame.color, frame.semantic)
+                if args.verbose and frame.index % 25 == 0:
+                    # per-frame inlier detail needs --no-pipeline (results
+                    # are still in flight here); report progress instead
+                    print(f"frame {frame.index}: kf={len(system.keyframes)}"
+                          f" loops={system.n_loop_edges}"
+                          f" opt={system.n_optimizations}", file=sys.stderr)
+        system.process_stream(stream())
     wall = time.time() - t0
     n_done = max(system.frame_count, 1)
     print(f"# {n_done} frames in {wall:.1f}s = {n_done / wall:.3f} fps",
@@ -604,6 +611,8 @@ def _enable_compilation_cache():
     import os
     try:
         import jax
+        if jax.config.jax_compilation_cache_dir is not None:
+            return   # respect an already-configured cache (tests, embeds)
         d = os.environ.get(
             "SSM_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache",

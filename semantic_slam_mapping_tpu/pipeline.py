@@ -94,6 +94,11 @@ def _kf_cloud_jit(disp_f16, left_f16, color, labels, moving_mask,
     if color is None:
         color = jnp.broadcast_to(left_f16.astype(jnp.float32)[..., None],
                                  disp.shape + (3,))
+    elif jnp.issubdtype(color.dtype, jnp.integer):
+        # uint8 [0,255] keyframe color (the Keyframe contract) -> [0,1]
+        color = color.astype(jnp.float32) / 255.0
+    else:
+        color = color.astype(jnp.float32)
     if labels is None:
         labels = jnp.full(disp.shape, 1, jnp.int32)
     mov = (moving_mask if moving_mask is not None
@@ -765,7 +770,6 @@ class SlamSystem:
             if is_loop:
                 viso_ok = np.asarray(res.success)
                 T_viso = se3_np.inverse(np.asarray(res.T_delta, np.float64))
-                viso_inl = np.asarray(res.n_inliers)
         added = 0
         for i in range(n):
             if not ok[i]:
@@ -1110,8 +1114,10 @@ class SlamSystem:
         current keyframe pose in numpy — round 2 regenerated + read back
         every cloud on every rebuild, a dominant e2e cost."""
         disp = _dev_img(kf, "disparity")
-        color = (jnp.asarray(kf.color, jnp.float32)
-                 if kf.color is not None else None)
+        # raw dtype preserved: _kf_cloud_jit normalizes uint8 [0,255]
+        # conditionally (an unconditional f32 cast made every u8 channel
+        # >=1.0 saturate in the *255 output quantization -> white map)
+        color = jnp.asarray(kf.color) if kf.color is not None else None
         labels = (jnp.asarray(kf.semantic, jnp.int32)
                   if kf.semantic is not None else None)
         xyz_q, rgb_q, lbl_q, n = _kf_cloud_jit(
