@@ -108,7 +108,10 @@ def cmd_slam(args):
     out_dir.mkdir(parents=True, exist_ok=True)
     write_kitti_poses(out_dir / "trajectory.txt", traj)
     system.save_g2o(str(out_dir / "traj.g2o"))
-    print(timer.report(), file=sys.stderr)
+    if getattr(args, "no_pipeline", False):
+        # the local per-frame timer is only populated in serialized mode;
+        # the pipelined driver's stages live in system.timer (ADVICE r4)
+        print(timer.report(), file=sys.stderr)
     print(system.timer.report(), file=sys.stderr)
     _report_accuracy(traj, args.gt)
     if args.plot:

@@ -93,6 +93,7 @@ class SgbmConfig:
     # speckle-filter CC label-propagation sweeps: 4 converges worst-case
     # serpentine topologies (3 splits them and invalidates good disparity)
     speckle_cc_sweeps: int = 4
+    speckle_cc_jumps: int = 1
     # Pallas SGM path-aggregation kernel (ops/pallas/sgm_pallas.py), ON by
     # default on TPU (VERDICT r2 item 5 decision): measured 95.3 vs
     # 101.1 ms full-SGBM on the v5e (tools/bench_sgm.py), and the kernel

@@ -151,3 +151,24 @@ def track_frame_rgbd(state: RgbdTrackerState, gray: jnp.ndarray,
                           n_matches=n_matches,
                           n_inliers=res.n_inliers, success=success)
     return new_state, out
+
+
+@jax.jit
+def adjust(state: RgbdTrackerState, new_pose: jnp.ndarray
+           ) -> RgbdTrackerState:
+    """Backend-initiated relocalization (Tracker::adjust, track.h:114-131)
+    for the RGB-D tracker. Unlike the stereo tracker (whose VO is purely
+    relative), this tracker's ref ring buffer holds WORLD-frame 3D points,
+    and its pooled PnP is an ABSOLUTE solve against them — so the pose
+    rewrite must transport the stored points by the same world correction
+    C = new_pose o inv(old_pose), keeping the whole state equivariant
+    (otherwise the next PnP 'snaps back' toward the pre-correction frame,
+    and pipelined/serial drivers diverge)."""
+    new_pose = se3.orthonormalize(jnp.asarray(new_pose, jnp.float32))
+    C = se3.compose(new_pose, se3.inverse(state.pose))
+    R_, N_ = state.ref_xyz_w.shape[:2]
+    pts = se3.transform_points(C, state.ref_xyz_w.reshape(-1, 3))
+    return state._replace(pose=new_pose,
+                          ref_xyz_w=pts.reshape(R_, N_, 3),
+                          lost_count=jnp.int32(0),
+                          status=jnp.int32(OK))

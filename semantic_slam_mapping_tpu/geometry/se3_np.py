@@ -61,6 +61,20 @@ def rotation_to_quaternion(R: np.ndarray) -> np.ndarray:
     return q * np.where(q[..., :1] < 0, -1.0, 1.0)
 
 
+def quaternion_to_rotation(q: np.ndarray) -> np.ndarray:
+    """Unit quaternion (…, 4) [w, x, y, z] -> rotation matrix (…, 3, 3)
+    (inverse of :func:`rotation_to_quaternion`; g2o import path)."""
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                  2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                  1 - 2 * (x * x + y * y)], -1)], -2)
+
+
 def so3_log(R: np.ndarray) -> np.ndarray:
     q = rotation_to_quaternion(R)
     qw, qv = q[..., 0], q[..., 1:]

