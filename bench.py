@@ -231,11 +231,18 @@ def _cost_of(compiled):
 def _time_stage(jax, fn, args_fn, reps: int = 5):
     """Median wall time of fn over ``reps`` executions with PERTURBED
     inputs (the axon relay memoizes identical executions — memory/PERF.md)
-    and a forced readback."""
+    and a forced readback. Two warmup executions first: the relay performs
+    lazy per-program initialization AFTER the first execution, and calls
+    landing inside that window block on it (~25 ms) — without warmup every
+    rep of a short timing loop absorbs it and the median reads ~100x high
+    for microsecond-scale programs (r5 finding, docs/PERF.md)."""
     import time as _t
+    for r in range(2):
+        out = fn(*args_fn(r))
+        jax.block_until_ready(out)
     ts = []
     for r in range(reps):
-        a = args_fn(r)
+        a = args_fn(r + 2)
         jax.block_until_ready(a)
         t0 = _t.time()
         out = fn(*a)

@@ -54,6 +54,11 @@ def main():
                     help="loop radius in m (larger -> longer runs with "
                          "more keyframes at reference scale)")
     ap.add_argument("--laps", type=float, default=LAPS)
+    ap.add_argument("--revisit-offset", type=float, default=0.0,
+                    help="lateral lane offset (m) of the second lap: the "
+                         "revisit passes the start region in a parallel "
+                         "lane, producing borderline 12-50-inlier loop "
+                         "candidates (VERDICT r4 item 6)")
     ap.add_argument("--boxes", type=int, default=N_BOXES)
     ap.add_argument("--label", default="",
                     help="annotation naming this run's config in the "
@@ -99,7 +104,8 @@ def main():
                                       n_boxes=args.boxes,
                                       radius=args.radius, n_moving=N_MOVING)
     poses = synthetic.loop_trajectory(F, radius=args.radius, laps=args.laps,
-                                      pitch_amp=PITCH_AMP)
+                                      pitch_amp=PITCH_AMP,
+                                      revisit_offset=args.revisit_offset)
 
     # render in chunks, keeping EVERYTHING on device (f16 frames): reading
     # 500 full-res frames back through the remote-TPU tunnel costs minutes;
@@ -200,6 +206,14 @@ def main():
         "rpe_rot_rmse_deg": round(float(np.degrees(rpe_r.rmse)), 4),
         "keyframes": len(system.keyframes),
         "loop_edges": system.n_loop_edges,
+        "revisit_offset_m": args.revisit_offset,
+        # inlier distributions: candidates that passed the PnP gate, and
+        # accepted edges — shows whether the run exercises the 12-50
+        # borderline band (VERDICT r4 item 6)
+        "loop_candidate_inliers": sorted(system.loop_candidate_inliers),
+        "loop_edge_inliers": sorted(system.loop_edge_inliers),
+        "borderline_loop_edges": sum(
+            1 for v in system.loop_edge_inliers if 12 <= v < 50),
         "global_optimizations": system.n_global_optimizations,
         "local_optimizations": system.n_local_optimizations,
         "first_global_opt_frame": mid_run_global,

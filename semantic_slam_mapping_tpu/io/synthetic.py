@@ -320,16 +320,28 @@ def straight_trajectory(n_frames: int, speed: float = 0.8,
 
 
 def loop_trajectory(n_frames: int, radius: float = 30.0,
-                    laps: float = 1.2, pitch_amp: float = 0.0) -> jnp.ndarray:
+                    laps: float = 1.2, pitch_amp: float = 0.0,
+                    revisit_offset: float = 0.0) -> jnp.ndarray:
     """(N, 4, 4) poses driving a circle of ``radius`` (center to camera's
     right), heading along the tangent. ``laps`` > 1 revisits the start
     region with frames to spare — the mid-run loop closure of the golden
     sequence (VERDICT r1 item 10). ``pitch_amp`` adds sinusoidal platform
-    pitch (radians) to exercise the pitch-KF correction loop."""
+    pitch (radians) to exercise the pitch-KF correction loop.
+
+    ``revisit_offset`` (m) widens the circle radius on the SECOND lap
+    (smooth ramp over the first quarter-lap past 2pi), so the revisit
+    passes the start region in a parallel lane instead of retracing it
+    exactly — loop candidates then see a laterally-offset viewpoint and
+    their PnP inlier counts drop into the borderline 12-50 band the
+    inlier-scaled edge information exists for (VERDICT r4 item 6)."""
     th = jnp.linspace(0.0, 2.0 * jnp.pi * laps, n_frames)
-    pos = jnp.stack([radius * (1.0 - jnp.cos(th)),
+    # ramp 0 -> 1 over [2pi, 2.5pi]; circle center stays at (radius, 0)
+    ramp = jnp.clip((th - 2.0 * jnp.pi) / (0.5 * jnp.pi), 0.0, 1.0)
+    s = ramp * ramp * (3.0 - 2.0 * ramp)   # smoothstep
+    r_eff = radius + revisit_offset * s
+    pos = jnp.stack([radius - r_eff * jnp.cos(th),
                      jnp.zeros_like(th),
-                     radius * jnp.sin(th)], axis=-1)
+                     r_eff * jnp.sin(th)], axis=-1)
     yaw = th
     pitch = pitch_amp * jnp.sin(th * 7.0)
 

@@ -31,24 +31,27 @@ def gaussian_kernel_1d(sigma: float, radius: int) -> np.ndarray:
 
 
 def _sep_filter(img: jnp.ndarray, kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray:
-    """Separable 2D filter on (..., H, W) with reflect padding."""
+    """Separable 2D filter on (..., H, W) with reflect padding.
+
+    Implemented as statically-shifted slice multiply-adds rather than
+    `lax.conv_general_dilated`: a single-channel (N=1, C=1) conv cannot
+    tile onto the MXU and lowers to a slow scalar path on TPU (~5 ms per
+    conv at 376x1248 — the r5 roofline showed the KLT pyramid build, i.e.
+    8 such convs, dominating the whole quadmatch stage). The shifted-add
+    form is pure VPU elementwise work that XLA fuses into one HBM pass
+    per axis. Accumulates in f32 regardless of input dtype (an 11-tap
+    window sum of bf16 terms would otherwise accrue rounding)."""
     batch_shape = img.shape[:-2]
     H, W = img.shape[-2:]
-    x = img.reshape((-1, 1, H, W))
+    x = img.reshape((-1, H, W))
     rx = len(kx) // 2
     ry = len(ky) // 2
-    x = jnp.pad(x, ((0, 0), (0, 0), (ry, ry), (rx, rx)), mode="reflect")
-    # accumulate in f32 regardless of input dtype: an 11-tap window sum of
-    # O(100) bf16 terms would otherwise accrue a few units of rounding on
-    # backends that accumulate in the input dtype (first conv reads the
-    # input in its native dtype, so bf16 inputs still stream at half rate)
-    kh = jnp.asarray(ky, img.dtype).reshape(1, 1, -1, 1)
-    kw = jnp.asarray(kx, jnp.float32).reshape(1, 1, 1, -1)
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
-                                     preferred_element_type=jnp.float32)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
-                                     preferred_element_type=jnp.float32)
-    return x.reshape(batch_shape + (H, W)).astype(img.dtype)
+    xp = jnp.pad(x, ((0, 0), (ry, ry), (0, 0)), mode="reflect")
+    acc = sum(float(ky[k]) * xp[:, k:k + H, :].astype(jnp.float32)
+              for k in range(len(ky)))
+    xp = jnp.pad(acc, ((0, 0), (0, 0), (rx, rx)), mode="reflect")
+    out = sum(float(kx[k]) * xp[:, :, k:k + W] for k in range(len(kx)))
+    return out.reshape(batch_shape + (H, W)).astype(img.dtype)
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float = 1.0,

@@ -63,25 +63,42 @@ def _sample_patch(window: jnp.ndarray, offset: jnp.ndarray,
                       precision=jax.lax.Precision.HIGHEST)
 
 
+_BLK = 64  # x-block granularity: two adjacent blocks cover any span <= 64
+
+
 def _gather_window(img: jnp.ndarray, corner: jnp.ndarray,
                    size: int) -> jnp.ndarray:
     """Integer-aligned (size, size) window at ``corner`` (x0, y0), zero
     padded out of bounds.
 
     TPU layout: a 2D scalar gather of size^2 points per feature serializes
-    badly; instead gather ``size`` full ROWS (contiguous, cheap) and select
-    columns with a one-hot matmul (MXU). This is the only gather in the
-    tracker."""
+    badly, and gathering ``size`` FULL rows then selecting columns with a
+    (W, size) one-hot matmul moves W/size times more HBM than the window
+    itself (r5 roofline: 7.6 GB -> one KLT leg). Instead gather two
+    adjacent 64-wide lane blocks per row — contiguous 256 B lines, the
+    TPU-friendly gather granularity — and select columns from the 128-wide
+    strip with a small one-hot matmul on the MXU. Requires size <= 64."""
     H, W = img.shape
+    nb = -(-W // _BLK)
+    imgb = img
+    if nb * _BLK != W:
+        imgb = jnp.pad(img, ((0, 0), (0, nb * _BLK - W)))
+    imgb = imgb.reshape(H, nb, _BLK)
     ys = corner[1] + jnp.arange(size)
     y_ok = (ys >= 0) & (ys < H)
-    rows = img[jnp.clip(ys, 0, H - 1), :]           # (size, W) row gather
-    rows = jnp.where(y_ok[:, None], rows, 0.0)
-    xs = corner[0] + jnp.arange(size)               # (size,)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (W, size), 0)
-    Ex = (cols == jnp.clip(xs, 0, W - 1)[None, :]).astype(img.dtype)
+    ys_c = jnp.clip(ys, 0, H - 1)
+    b0 = jnp.clip(jnp.floor_divide(corner[0], _BLK), 0, nb - 1)
+    blocks = jnp.clip(jnp.stack([b0, b0 + 1]), 0, nb - 1)
+    strip = imgb[ys_c[:, None], blocks[None, :]]    # (size, 2, 64) gather
+    strip = jnp.where(y_ok[:, None, None], strip, 0.0)
+    strip = strip.reshape(size, 2 * _BLK)
+    off = corner[0] - b0 * _BLK                     # window start in strip
+    xs = corner[0] + jnp.arange(size)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (2 * _BLK, size), 0)
+    Ex = (cols == jnp.clip(off + jnp.arange(size), 0,
+                           2 * _BLK - 1)[None, :]).astype(img.dtype)
     x_ok = (xs >= 0) & (xs < W)
-    w = jnp.dot(rows, Ex, preferred_element_type=jnp.float32)
+    w = jnp.dot(strip, Ex, preferred_element_type=jnp.float32)
     return jnp.where(x_ok[None, :], w, 0.0)
 
 

@@ -322,6 +322,13 @@ class SlamSystem:
         self._anchors: List = []
         self.frame_count = 0
         self.n_loop_edges = 0
+        # PnP inlier counts of loop candidates that passed the PnP gate /
+        # of ACCEPTED loop edges — the observability needed to show a run
+        # actually exercises the 12-50-inlier borderline band that
+        # info_from_inliers + the floor-12 relaxation exist for
+        # (VERDICT r4 item 6); golden.py publishes both distributions.
+        self.loop_candidate_inliers: List[int] = []
+        self.loop_edge_inliers: List[int] = []
         self.n_optimizations = 0
         self.n_global_optimizations = 0
         self.n_local_optimizations = 0
@@ -979,6 +986,8 @@ class SlamSystem:
             for i in range(n):
                 if not ok[i]:
                     continue
+                if is_loop:
+                    self.loop_candidate_inliers.append(int(pnp_inl[i]))
                 ref = refs[i]
                 use_viso = False
                 if is_loop and viso_ok[i]:
@@ -1039,6 +1048,8 @@ class SlamSystem:
                     info = info * max(s, pgc.info_min_scale)
                 self._add_edge(ref.kf_id, kf.kf_id, T_rel, is_loop, chi2,
                                info=info)
+                if is_loop:
+                    self.loop_edge_inliers.append(int(pnp_inl[i]))
                 added += 1
             return added
 

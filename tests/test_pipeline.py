@@ -222,3 +222,41 @@ def test_process_stream_matches_process_frame(seq_and_vocab):
     # optimization fires mid-stream (the pipelined adjust additionally
     # PnP-refines the in-flight frame against the re-anchored keyframe)
     np.testing.assert_allclose(ta, tb, atol=0.02)
+
+
+def test_injected_wrong_loop_rejected(seq_and_vocab):
+    """Geometric loop verification (the PnP gate + independent quad-match/
+    VO re-measure agreement + inlier floor, pose_graph.cpp:181-234 role):
+    a loop CANDIDATE from a completely different scene — as a corrupted
+    BoW stage might propose — must be rejected, inserting no edge and
+    leaving the accumulated loop error untouched (VERDICT r4 item 6)."""
+    seq, vocab = seq_and_vocab
+    sys_ = SlamSystem(CFG, vocab=vocab)
+    for i in range(N_FRAMES):
+        sys_.process_frame(seq["left"][i], seq["right"][i])
+    assert len(sys_.keyframes) >= 2
+
+    # keyframe from an unrelated world (different seed AND geometry):
+    # run a fresh 2-frame system on it so the record carries real ORB
+    # features, stereo 3D, and device images
+    K = Intrinsics.from_config(CAM)
+    other_world = synthetic.make_world(jax.random.PRNGKey(99), n_boxes=12)
+    other_poses = synthetic.straight_trajectory(3, speed=0.4)
+    other = synthetic.render_sequence(K, other_world, other_poses, H, W)
+    donor = SlamSystem(CFG, vocab=vocab)
+    for i in range(3):
+        donor.process_frame(other["left"][i], other["right"][i])
+    assert donor.keyframes, "donor system produced no keyframe"
+    impostor = donor.keyframes[0]
+    # claim the impostor sits where an actual revisit would be
+    impostor.pose = sys_.keyframes[0].pose.copy()
+
+    before_edges = sys_.n_edges
+    before_loops = sys_.n_loop_edges
+    before_err = sys_.loop_error
+    added = sys_._try_edges_batched([impostor], sys_.keyframes[-1],
+                                    is_loop=True)
+    assert added == 0, "wrong-scene loop candidate was accepted"
+    assert sys_.n_edges == before_edges
+    assert sys_.n_loop_edges == before_loops
+    assert sys_.loop_error == before_err
