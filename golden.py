@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--round", type=int, default=0,
                     help="round number for the GOLDEN_r{N}.json artifact")
     ap.add_argument("--no-mapping", action="store_true")
+    ap.add_argument("--rgbd", action="store_true",
+                    help="run the RGB-D mode of the full system (TUM-style "
+                         "ORB+PnP frontend, track.cpp:140-200; reverse-PnP "
+                         "loop verification; depth-based clouds) on the "
+                         "same loop circuit — gray+depth frames instead of "
+                         "the stereo pair (VERDICT r4 item 7)")
     ap.add_argument("--nearby", type=int, default=None,
                     help="override pose_graph.nearby_keyframes (bisect aid)")
     ap.add_argument("--gt-semantics", action="store_true",
@@ -112,7 +118,10 @@ def main():
     # the pipeline only pulls per-keyframe slices to host.
     def render_chunk(p, i):
         c = synthetic.render_sequence(K, world, p, H, W, start_index=i)
-        return (c["left"].astype(jnp.float16), c["right"].astype(jnp.float16),
+        # rgbd mode feeds the GT depth image (the TUM dataset's depth
+        # channel role, rgbdframe.cpp:199-227) instead of the right frame
+        second = c["depth"] if args.rgbd else c["right"]
+        return (c["left"].astype(jnp.float16), second.astype(jnp.float16),
                 c["semantic"].astype(jnp.int8))
     render = jax.jit(render_chunk)   # start_index traced: one compile
     t0 = time.time()
@@ -150,7 +159,8 @@ def main():
     else:
         print("semantics: ground-truth labels", flush=True)
     system = SlamSystem(cfg, vocab=vocab,
-                        enable_mapping=not args.no_mapping)
+                        enable_mapping=not args.no_mapping,
+                        rgbd=args.rgbd)
     t0 = time.time()
     mid_run_global = None
 
@@ -173,7 +183,10 @@ def main():
 
     # pipelined driver: frame N+1's frontend is in flight on the device
     # while frame N's keyframe/backend work runs on the host
-    system.process_stream(frame_stream())
+    if args.rgbd:
+        system.process_stream_rgbd(frame_stream())
+    else:
+        system.process_stream(frame_stream())
     traj = np.stack(system.finish())
     wall = time.time() - t0
     print(system.timer.report(), flush=True)
@@ -190,8 +203,10 @@ def main():
         sem_acc = round(float(np.mean(accs)), 4) if accs else None
 
     rec = {
-        "sequence": f"golden-loop r={args.radius} laps={args.laps} "
-                    f"moving={N_MOVING} pitch={PITCH_AMP}",
+        "sequence": (("rgbd-" if args.rgbd else "")
+                     + f"golden-loop r={args.radius} laps={args.laps} "
+                       f"moving={N_MOVING} pitch={PITCH_AMP}"),
+        "mode": "rgbd" if args.rgbd else "stereo",
         "seed": args.seed,
         "label": args.label,
         "edge_info": ("uniform+floor25" if args.uniform_info

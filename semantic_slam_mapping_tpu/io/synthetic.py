@@ -335,8 +335,11 @@ def loop_trajectory(n_frames: int, radius: float = 30.0,
     their PnP inlier counts drop into the borderline 12-50 band the
     inlier-scaled edge information exists for (VERDICT r4 item 6)."""
     th = jnp.linspace(0.0, 2.0 * jnp.pi * laps, n_frames)
-    # ramp 0 -> 1 over [2pi, 2.5pi]; circle center stays at (radius, 0)
-    ramp = jnp.clip((th - 2.0 * jnp.pi) / (0.5 * jnp.pi), 0.0, 1.0)
+    # ramp 0 -> 1 over the first 1/16 lap past 2pi (fast, so the WHOLE
+    # revisit runs in the offset lane — a slow ramp leaves the early
+    # revisit near-identical to lap 1 and its loops at full inlier
+    # strength); circle center stays at (radius, 0)
+    ramp = jnp.clip((th - 2.0 * jnp.pi) / (jnp.pi / 8.0), 0.0, 1.0)
     s = ramp * ramp * (3.0 - 2.0 * ramp)   # smoothstep
     r_eff = radius + revisit_offset * s
     pos = jnp.stack([radius - r_eff * jnp.cos(th),

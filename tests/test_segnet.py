@@ -159,6 +159,10 @@ def test_learned_labels_filter_pedestrian_from_map(tmp_path):
                  * 255).astype(np.uint8)
             s.process_frame(seq["left"][i], seq["right"][i],
                             color=np.stack([g] * 3, -1), semantic=None)
+        # drain the deferred keyframe-epoch work (cloud generation + map
+        # insert harvest at the NEXT epoch or at finish) before reading
+        # the map — the same contract golden.py/cli/checkpoint follow
+        s.finish()
         return s
 
     sys_ = run(use_segnet=True)
