@@ -226,6 +226,10 @@ def main():
         # accepted edges — shows whether the run exercises the 12-50
         # borderline band (VERDICT r4 item 6)
         "loop_candidate_inliers": sorted(system.loop_candidate_inliers),
+        # (pnp_inliers, viso_ok, dt_m, dr_deg) per candidate: why the
+        # verification accepted/rejected each one
+        "loop_verify_log": [[v[0], v[1], round(v[2], 3), round(v[3], 2)]
+                            for v in system.loop_verify_log],
         "loop_edge_inliers": sorted(system.loop_edge_inliers),
         "borderline_loop_edges": sum(
             1 for v in system.loop_edge_inliers if 12 <= v < 50),

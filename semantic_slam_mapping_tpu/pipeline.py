@@ -183,7 +183,13 @@ class Keyframe:
     feat_valid_host: Optional[np.ndarray] = None  # (N,)
     feats_dev: Optional[tuple] = None
     color: Optional[np.ndarray] = None     # (H, W, 3) uint8, for mapping
-    semantic: Optional[np.ndarray] = None  # (H, W) int32, for mapping
+    # semantic labels: device-resident (online SegNet output) with a lazy
+    # host mirror — np.asarray at keyframe time blocked on the ENTIRE
+    # pipelined device queue (~600 ms/keyframe in the r5 golden probes,
+    # the depth-6 in-flight frontends), and the map cloud program consumes
+    # the DEVICE labels anyway
+    semantic_host: Optional[np.ndarray] = None  # (H, W) int8, for mapping
+    semantic_dev: Optional[object] = None
     # image storage: the authoritative copies live ON DEVICE as f16
     # (*_dev); host copies (*_host) materialize LAZILY — at checkpoint
     # save or device-cache eviction — so keyframe insertion performs NO
@@ -241,6 +247,10 @@ class Keyframe:
     @property
     def feat_valid(self) -> np.ndarray:
         return self._feats_host(3, "feat_valid")
+
+    @property
+    def semantic(self) -> Optional[np.ndarray]:
+        return self._host("semantic")
 
     @property
     def left(self) -> np.ndarray:
@@ -329,6 +339,8 @@ class SlamSystem:
         # (VERDICT r4 item 6); golden.py publishes both distributions.
         self.loop_candidate_inliers: List[int] = []
         self.loop_edge_inliers: List[int] = []
+        # (pnp_inliers, viso_ok, dt_m, dr_deg) per PnP-passing candidate
+        self.loop_verify_log: List[tuple] = []
         self.n_optimizations = 0
         self.n_global_optimizations = 0
         self.n_local_optimizations = 0
@@ -754,7 +766,9 @@ class SlamSystem:
             # materialize host copies first (the device copy is the only
             # copy until now), then release the HBM
             old._host("left"), old._host("right"), old._host("disparity")
+            old._host("semantic")
             old.left_dev = old.right_dev = old.disparity_dev = None
+            old.semantic_dev = None
             for i, a in enumerate(("feat_xy", "feat_desc",
                                    "feat_xyz", "feat_valid")):
                 old._feats_host(i, a)
@@ -785,13 +799,16 @@ class SlamSystem:
             bow_dev=((bow.idx, bow.w) if bow is not None else None),
             feats_dev=(feats.xy, feats.desc, xyz, feat_valid),
             color=(np.asarray(color) if color is not None else None),
-            # labels fit int8 (12 classes): 4x smaller readback and store
-            # host labels stay on host (int8); device labels read back
-            # once — no host->device->host round trip (r4 profiling)
-            semantic=(None if semantic is None
-                      else semantic.astype(np.int8)
-                      if isinstance(semantic, np.ndarray)
-                      else np.asarray(jnp.asarray(semantic, jnp.int8))),
+            # labels fit int8 (12 classes): 4x smaller store. Host labels
+            # stay host; DEVICE labels (online SegNet output) stay device
+            # with a lazy host mirror — an eager np.asarray here blocked
+            # on the whole depth-6 pipelined queue (~600 ms/keyframe)
+            semantic_host=(semantic.astype(np.int8)
+                           if isinstance(semantic, np.ndarray) else None),
+            semantic_dev=(jnp.asarray(semantic, jnp.int8)
+                          if semantic is not None
+                          and not isinstance(semantic, np.ndarray)
+                          else None),
             # device-only: host copies materialize lazily (see Keyframe)
             left_dev=jnp.asarray(left, jnp.float16),
             right_dev=(jnp.asarray(right, jnp.float16)
@@ -1014,12 +1031,19 @@ class SlamSystem:
                     self.loop_candidate_inliers.append(int(pnp_inl[i]))
                 ref = refs[i]
                 use_viso = False
+                dt = dr = float("nan")
                 if is_loop and viso_ok[i]:
                     d = np.linalg.inv(T_viso[i]) @ T_pnp[i]
                     dt = float(np.linalg.norm(d[:3, 3]))
                     dr = float(np.arccos(np.clip(
                         0.5 * (np.trace(d[:3, :3]) - 1.0), -1.0, 1.0)))
                     use_viso = dt < 0.5 and dr < np.radians(3.0)
+                if is_loop:
+                    # verification telemetry (why candidates fail): PnP
+                    # inliers, viso success, and PnP-vs-viso discrepancy
+                    self.loop_verify_log.append(
+                        (int(pnp_inl[i]), bool(viso_ok[i]), dt,
+                         float(np.degrees(dr))))
                 pgc = self.cfg.pose_graph
                 if is_loop and not (use_viso
                                     and pnp_inl[i] >= pgc.loop_min_inliers):
@@ -1403,8 +1427,12 @@ class SlamSystem:
         # conditionally (an unconditional f32 cast made every u8 channel
         # >=1.0 saturate in the *255 output quantization -> white map)
         color = jnp.asarray(kf.color) if kf.color is not None else None
-        labels = (jnp.asarray(kf.semantic, jnp.int32)
-                  if kf.semantic is not None else None)
+        # prefer the device-resident labels (online SegNet output): no
+        # host round trip, and no blocking on the pipelined queue
+        sem_src = (kf.semantic_dev if kf.semantic_dev is not None
+                   else kf.semantic_host)
+        labels = (jnp.asarray(sem_src, jnp.int32)
+                  if sem_src is not None else None)
         xyz_q, rgb_q, lbl_q, n_dev = _kf_cloud_jit(
             disp, _dev_img(kf, "left"), color, labels, moving_mask,
             self.K, self.cfg.camera, self.cfg.mapper,

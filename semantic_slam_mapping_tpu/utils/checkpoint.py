@@ -122,7 +122,7 @@ def load_slam(path: str | Path, cfg, vocab=None):
             left_host=z[p + "left"],
             right_host=get("right"),
             color=get("color"),
-            semantic=get("semantic"),
+            semantic_host=get("semantic"),
             disparity_host=get("disparity")))
     # rebuild the relocalization ref deque from the newest keyframes
     for kf in system.keyframes[-system.ref_frames.maxlen:]:
