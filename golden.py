@@ -101,6 +101,14 @@ def main():
     if args.uniform_info:
         cfg = dataclasses.replace(cfg, pose_graph=dataclasses.replace(
             cfg.pose_graph, info_from_inliers=False, loop_min_inliers=25))
+    if args.rgbd:
+        # TUM-scale operating point (the reference's RGB-D path IS the TUM
+        # path, rgbdframe.cpp:199-227): indoor-scale keyframe gating — the
+        # KITTI 5.5 m threshold would span many ref-ring lifetimes of the
+        # trackRefFrame frontend. Pair with --radius ~10.
+        cfg = dataclasses.replace(cfg, pose_graph=dataclasses.replace(
+            cfg.pose_graph, keyframe_min_translation=1.0,
+            keyframe_min_rotation=0.4))
     K = Intrinsics.from_config(cfg.camera)
     F = args.frames
 
@@ -228,7 +236,8 @@ def main():
         "loop_candidate_inliers": sorted(system.loop_candidate_inliers),
         # (pnp_inliers, viso_ok, dt_m, dr_deg) per candidate: why the
         # verification accepted/rejected each one
-        "loop_verify_log": [[v[0], v[1], round(v[2], 3), round(v[3], 2)]
+        "loop_verify_log": [[v[0], v[1], round(v[2], 3), round(v[3], 2),
+                             round(v[4], 3)]
                             for v in system.loop_verify_log],
         "loop_edge_inliers": sorted(system.loop_edge_inliers),
         "borderline_loop_edges": sum(

@@ -262,7 +262,15 @@ class PoseGraphConfig:
     # so optimization scheduling stays at reference parity.
     loop_min_inliers: int = 12
     info_from_inliers: bool = True
-    info_full_inliers: float = 50.0
+    # full-information point recalibrated 50 -> 200 from the r5 loop-verify
+    # telemetry (GOLDEN.md borderline campaign): measured PnP-vs-
+    # independent-check discrepancy keeps shrinking well past 50 inliers
+    # (dt ~0.5 m at 60-80 inliers vs ~0.05 m at 300+), and the geometric
+    # verification's measured acceptance floor on offset-lane revisits is
+    # ~60-80 — with full information at 50 the scaling was inactive on the
+    # entire accepted population. The floor stays 12: the RGB-D reverse-PnP
+    # path can responsibly accept weaker loops than the stereo tiers.
+    info_full_inliers: float = 200.0
     info_min_scale: float = 0.04
     huber_delta: float = 1.0
     # PCG linear solver (replaces Cholmod; SURVEY.md §2.2 g2o row)

@@ -983,6 +983,39 @@ class SlamSystem:
                 keys = jax.random.split(k, nb)
                 res = jax.vmap(lambda mm, kk: vo.estimate_motion(
                     mm, self.K, kk, self.cfg.vo))(m, keys)
+            with self.timer.stage("edges/revpnp"):
+                # Second verification tier (same batched epoch): the
+                # REVERSE-direction PnP (kf's 3D against each candidate's
+                # 2D — different triangulated points than the forward
+                # solve), the check the RGB-D path uses. The KLT quad
+                # chain above demands dense co-visibility and fails on
+                # partial-overlap revisits (offset lanes) even at >100 PnP
+                # inliers (r5 verify-log probes); forward/reverse PnP
+                # agreement verifies exactly those, letting borderline
+                # 12-50-inlier loops participate with inlier-SCALED
+                # information instead of being structurally impossible.
+                kf_xyz = (kf.feats_dev[2] if kf.feats_dev is not None
+                          else jnp.asarray(kf.feat_xyz))
+                xy_r = jnp.stack([fd(r, 0, "feat_xy") for r in pick])
+                # initialize from the FORWARD solution's inverse (device):
+                # the graph estimate is meters off at loop-closure time
+                # and the reverse LM then fails to converge on exactly the
+                # partial-overlap candidates this tier exists for. The
+                # check stays meaningful: reverse solves DIFFERENT 3D
+                # points against different observations — agreement still
+                # requires consistent two-view geometry, only the basin
+                # of convergence is shared.
+                Rt_f = jnp.swapaxes(infos.T[:, :3, :3], 1, 2)
+                tr_f = -jnp.einsum("nij,nj->ni", Rt_f, infos.T[:, :3, 3])
+                T_init_rev = (jnp.zeros_like(infos.T)
+                              .at[:, :3, :3].set(Rt_f)
+                              .at[:, :3, 3].set(tr_f)
+                              .at[:, 3, 3].set(1.0))
+                res_rev = jax.vmap(
+                    lambda d2, x2, v2, Ti: pnp_mod.solve_pnp_lazy(
+                        kf_desc, kf_xyz, kf_val, d2, x2, v2, self.K, Ti,
+                        self.cfg.pnp, self.cfg.orb.knn_match_ratio))(
+                    desc_r, xy_r, val_r, T_init_rev)
 
         # Edge acceptance mirrors the reference (pose_graph.cpp:126-179):
         # the PnP gate alone decides whether an edge exists; the viso
@@ -1000,7 +1033,9 @@ class SlamSystem:
         # round-trip)
         _async = ([infos.success, infos.n_inliers, infos.T]
                   + ([res.success, res.T if self.rgbd else res.T_delta]
-                     if is_loop else []))
+                     if is_loop else [])
+                  + ([res_rev.success, res_rev.T]
+                     if is_loop and not self.rgbd else []))
         for a in _async:
             try:
                 a.copy_to_host_async()
@@ -1023,6 +1058,9 @@ class SlamSystem:
                     viso_ok = np.asarray(res.success)
                     T_viso = se3_np.inverse(
                         np.asarray(res.T_delta, np.float64))
+                    rev_ok = np.asarray(res_rev.success)
+                    # reverse PnP solves kf-cam -> ref-cam directly
+                    T_rev = np.asarray(res_rev.T, np.float64)
             added = 0
             for i in range(n):
                 if not ok[i]:
@@ -1031,32 +1069,45 @@ class SlamSystem:
                     self.loop_candidate_inliers.append(int(pnp_inl[i]))
                 ref = refs[i]
                 use_viso = False
-                dt = dr = float("nan")
+                use_rev = False
+                dt = dr = dt_rev = float("nan")
                 if is_loop and viso_ok[i]:
                     d = np.linalg.inv(T_viso[i]) @ T_pnp[i]
                     dt = float(np.linalg.norm(d[:3, 3]))
                     dr = float(np.arccos(np.clip(
                         0.5 * (np.trace(d[:3, :3]) - 1.0), -1.0, 1.0)))
                     use_viso = dt < 0.5 and dr < np.radians(3.0)
+                if is_loop and not self.rgbd and rev_ok[i]:
+                    d2 = np.linalg.inv(T_rev[i]) @ T_pnp[i]
+                    dt_rev = float(np.linalg.norm(d2[:3, 3]))
+                    dr_rev = float(np.arccos(np.clip(
+                        0.5 * (np.trace(d2[:3, :3]) - 1.0), -1.0, 1.0)))
+                    use_rev = dt_rev < 0.5 and dr_rev < np.radians(3.0)
                 if is_loop:
                     # verification telemetry (why candidates fail): PnP
-                    # inliers, viso success, and PnP-vs-viso discrepancy
+                    # inliers, viso success, PnP-vs-viso discrepancy, and
+                    # forward-vs-reverse-PnP discrepancy
                     self.loop_verify_log.append(
                         (int(pnp_inl[i]), bool(viso_ok[i]), dt,
-                         float(np.degrees(dr))))
+                         float(np.degrees(dr)), dt_rev))
                 pgc = self.cfg.pose_graph
-                if is_loop and not (use_viso
+                if is_loop and not ((use_viso or use_rev)
                                     and pnp_inl[i] >= pgc.loop_min_inliers):
                     # DELIBERATE STRENGTHENING over the reference: a loop
                     # edge rewrites the whole graph at the next global
                     # optimization, and the PnP gate alone (>=10 inliers of
                     # >=15 ratio-test matches, pnp.cpp:213-226) passes
                     # spurious candidates on self-similar texture. Loop
-                    # edges additionally require the independent quad-match/
-                    # VO re-measure to SUCCEED and AGREE with the PnP pose
-                    # (<0.5 m, <3 deg), plus an inlier floor
-                    # (loop_min_inliers; r3 used a hard 25, relaxed to 12 by
-                    # the inlier-scaled information below — ablation in
+                    # edges additionally require an INDEPENDENT geometric
+                    # check to agree with the PnP pose (<0.5 m, <3 deg):
+                    # tier 1 the quad-match/VO re-measure (dense
+                    # co-visibility; its pose then overrides PnP), tier 2
+                    # the reverse-direction PnP (partial-overlap revisits
+                    # where the KLT chain cannot track; the edge keeps the
+                    # forward-PnP measurement and its inlier-SCALED
+                    # information, so borderline loops participate weakly).
+                    # Plus an inlier floor (loop_min_inliers; r3 used a
+                    # hard 25, relaxed to 12 by the scaling — ablation in
                     # docs/GOLDEN.md) — the geometric consistency
                     # verification ORB-SLAM-class systems apply to loop
                     # candidates.

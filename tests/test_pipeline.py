@@ -218,10 +218,15 @@ def test_process_stream_matches_process_frame(seq_and_vocab):
     ta, tb = a.finish(), b.finish()
     assert len(a.keyframes) == len(b.keyframes)
     assert a.n_edges == b.n_edges
-    # modes agree to sub-centimetre; exact equality is not expected when an
-    # optimization fires mid-stream (the pipelined adjust additionally
-    # PnP-refines the in-flight frame against the re-anchored keyframe)
-    np.testing.assert_allclose(ta, tb, atol=0.02)
+    # modes agree to a few centimetres; exact equality is not expected when
+    # an optimization fires mid-stream (the pipelined adjust additionally
+    # PnP-refines the in-flight frame against the re-anchored keyframe).
+    # Since the tiered loop verification (r5) this scene DOES accept a
+    # loop edge and trigger a global optimization, so the documented
+    # divergence is exercised here: observed ~0.05 m on a scene whose
+    # per-frame VO error is ~0.1-0.2 m (the 384 px disparity starvation
+    # note above).
+    np.testing.assert_allclose(ta, tb, atol=0.08)
 
 
 def test_injected_wrong_loop_rejected(seq_and_vocab):
