@@ -25,7 +25,12 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:                        # jax >= 0.8 top-level API (check_vma kwarg)
+    from jax import shard_map as _shard_map
+    _SHARD_MAP_KW = {"check_vma": False}
+except ImportError:         # older jax (check_rep kwarg)
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _SHARD_MAP_KW = {"check_rep": False}
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from semantic_slam_mapping_tpu.config import SlamConfig
@@ -68,14 +73,14 @@ def track_frames_sharded(state: tracker.TrackerState,
             matches=_matches_spec(),
             vo_success=shard, pitch=shard))
 
-    fn = shard_map(
+    fn = _shard_map(
         lambda st, cl, cr, pl, pr, k: tracker.window_core(
             st, cl, cr, pl, pr, K, k, cfg, axis_name=DATA_AXIS),
         mesh=mesh,
         in_specs=(jax.tree_util.tree_map(lambda _: repl, state),
                   shard, shard, shard, shard, shard),
         out_specs=out_specs,
-        check_rep=False)
+        **_SHARD_MAP_KW)
     new_state, out = fn(state, cur_l, cur_r, prev_l, prev_r, keys)
     return new_state, out
 
