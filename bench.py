@@ -292,7 +292,11 @@ def run_roofline(jax):
             "hbm_mb": round(bytes_ / 1e6, 1),
             "pct_peak_flops": round(100 * pf, 2),
             "pct_peak_hbm": round(100 * pb, 2),
-            "bound": "compute" if pf >= pb else "bandwidth",
+            # when neither resource is meaningfully utilized the stage is
+            # limited by kernel-launch serialization (many tiny sequential
+            # ops, e.g. scan-based GN iterations), not by FLOPs or HBM
+            "bound": ("latency/serialization" if max(pf, pb) < 0.05
+                      else "compute" if pf >= pb else "bandwidth"),
         }
 
     # --- SGBM (the frontend's biggest stage) ---
