@@ -365,7 +365,8 @@ def run_roofline(jax):
             "frontend_mfu_pct": mfu,
             "note": ("FLOPs/bytes from XLA compiled-HLO cost analysis; "
                      "times are solo warm-cache medians with perturbed "
-                     "inputs; bound = larger of %peak-flops/%peak-HBM"),
+                     "inputs; bound = larger of %peak-flops/%peak-HBM, "
+                     "or latency/serialization when both are under 5%"),
             "stages": stages}
 
 
